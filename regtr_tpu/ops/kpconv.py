@@ -1,0 +1,138 @@
+"""Kernel-point convolution as dense batched einsum (MXU-friendly).
+
+TPU-native reimplementation of the KPConv operator
+(/root/reference/src/models/backbone_kpconv/kpconv_blocks.py:175-420,
+non-deformable path used by all shipped configs).
+
+Math per query point q with neighbors n (shadow neighbors point at an
+appended pad row with coordinates 1e6 and zero features):
+    d[n, p]   = || (x_n - x_q) - kernel_p ||
+    w[n, p]   = influence(d)              (linear: relu(1 - d / extent))
+    f[p, c]   = sum_n w[n, p] * feat[n, c]
+    out[c']   = sum_{p, c} f[p, c] * W[p, c, c']   / n_valid_neighbors
+The (p, c) contraction is reshaped into a single (N, P*C) @ (P*C, C') matmul
+so the MXU does the heavy lifting.
+
+Normalization note: the reference divides by the number of neighbors whose
+*feature sums* are positive (kpconv_blocks.py:409-412) — a quirk that equals
+the true neighbor count only at the first layer (all-ones features).  We
+normalize by the count of non-shadow neighbors, which is the mathematically
+intended behavior and is deterministic.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SHADOW_COORD = 1e6
+
+
+def kpconv(
+    q_pts,        # (B, Nq, 3)
+    s_pts,        # (B, Ns, 3)
+    neighb_inds,  # (B, Nq, K) int32, shadow = Ns
+    x,            # (B, Ns, Cin)
+    kernel_pts,   # (P, 3)
+    weights,      # (P, Cin, Cout)
+    kp_extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+    compute_dtype=None,
+):
+    """Batched KPConv. Returns (B, Nq, Cout)."""
+    b, ns, cin = x.shape
+    _, nq, k = neighb_inds.shape
+    p = kernel_pts.shape[0]
+
+    # Pad row for shadow neighbors: far-away coords, zero features.
+    s_pts_pad = jnp.concatenate(
+        [s_pts, jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)], axis=1
+    )
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
+
+    flat_inds = neighb_inds.reshape(b, nq * k)
+    neighbors = jnp.take_along_axis(
+        s_pts_pad, flat_inds[..., None], axis=1
+    ).reshape(b, nq, k, 3)
+    neighb_x = jnp.take_along_axis(
+        x_pad, flat_inds[..., None], axis=1
+    ).reshape(b, nq, k, cin)
+
+    rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
+    diff = rel[:, :, :, None, :] - kernel_pts[None, None, None]  # (B,Nq,K,P,3)
+    sq_d = jnp.sum(diff * diff, axis=-1)                        # (B,Nq,K,P)
+
+    if influence == "linear":
+        infl = jnp.maximum(1.0 - jnp.sqrt(sq_d) / kp_extent, 0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        infl = jnp.exp(-sq_d / (2.0 * sigma * sigma + 1e-9))
+    elif influence == "constant":
+        infl = jnp.ones_like(sq_d)
+    else:
+        raise ValueError(f"unknown influence {influence}")
+
+    if aggregation == "closest":
+        closest = jnp.argmin(sq_d, axis=-1)                     # (B,Nq,K)
+        infl = infl * jax.nn.one_hot(closest, p, dtype=infl.dtype)
+    elif aggregation != "sum":
+        raise ValueError(f"unknown aggregation {aggregation}")
+
+    if compute_dtype is not None:
+        infl = infl.astype(compute_dtype)
+        neighb_x = neighb_x.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+
+    # (B,Nq,K,P) x (B,Nq,K,C) -> (B,Nq,P,C); then one big matmul on (P*C, C').
+    weighted = jnp.einsum(
+        "bqkp,bqkc->bqpc", infl, neighb_x,
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "bqz,zo->bqo",
+        weighted.reshape(b, nq, p * cin),
+        weights.reshape(p * cin, -1),
+        preferred_element_type=jnp.float32,
+    )
+
+    n_valid = jnp.sum(neighb_inds < ns, axis=-1)                # (B,Nq)
+    n_valid = jnp.maximum(n_valid, 1).astype(out.dtype)
+    return out / n_valid[..., None]
+
+
+def max_pool(x, pool_inds):
+    """Max-pool features over (pool) neighbor indices.
+
+    Mirrors /root/reference/src/models/backbone_kpconv/kpconv_blocks.py:
+    127-143: shadow neighbors contribute a zero row, so outputs are >= 0
+    clamped implicitly when all-shadow — matching reference semantics.
+
+    x: (B, Ns, C); pool_inds: (B, Nq, K) with shadow = Ns -> (B, Nq, C)
+    """
+    b, ns, c = x.shape
+    _, nq, k = pool_inds.shape
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    flat = pool_inds.reshape(b, nq * k)
+    gathered = jnp.take_along_axis(x_pad, flat[..., None], axis=1)
+    return jnp.max(gathered.reshape(b, nq, k, c), axis=2)
+
+
+def closest_pool(x, inds):
+    """Pool features from the first (nearest) neighbor column.
+
+    Mirrors kpconv_blocks.py:112-124.  Our neighbor tables are sorted by
+    distance, so column 0 is the true nearest neighbor.
+    x: (B, Ns, C); inds: (B, Nq, K) -> (B, Nq, C)
+    """
+    b, ns, c = x.shape
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
+    first = inds[:, :, 0]
+    return jnp.take_along_axis(x_pad, first[..., None], axis=1)
+
+
+def global_average(x, mask):
+    """Masked mean over points: (B, N, C), (B, N) -> (B, C).
+
+    Mirrors kpconv_blocks.py:146-165."""
+    m = mask[..., None].astype(x.dtype)
+    return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
