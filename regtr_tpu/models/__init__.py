@@ -1,0 +1,50 @@
+"""Model registry: string -> model class, plus construction helpers.
+
+Equivalent of the dynamic registry at /root/reference/src/models/
+__init__.py:11-30 (`model: regtr.RegTR` in the YAML selects the class).
+"""
+from __future__ import annotations
+
+from ..ops.pyramid import make_pyramid_spec
+from .regtr import RegTR
+
+_REGISTRY = {
+    "regtr.RegTR": RegTR,
+    "RegTR": RegTR,
+}
+
+
+def register_model(name: str, cls):
+    _REGISTRY[name] = cls
+
+
+def get_model(name: str):
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown model {name!r}; available: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def create_model(cfg, n0_capacity: int):
+    """Build the model named by cfg['model'] with a pyramid spec sized for
+    `n0_capacity` input points per cloud."""
+    cls = get_model(cfg.get("model", "regtr.RegTR"))
+    spec = make_pyramid_spec(cfg, n0_capacity)
+    return cls(cfg=cfg, spec=spec)
+
+
+def init_model_params(model, rng, batch_pairs: int = 1):
+    """Initialize the full parameter pytree (including loss-criterion params,
+    which only materialize through the loss path) on tiny dummy inputs."""
+    import jax.numpy as jnp
+
+    n0 = model.spec.capacities[0]
+    pts = jnp.zeros((2 * batch_pairs, n0, 3), jnp.float32)
+    mask = jnp.ones((2 * batch_pairs, n0), bool)
+    pose = jnp.broadcast_to(jnp.eye(3, 4), (batch_pairs, 3, 4))
+    ov = jnp.ones((2 * batch_pairs, n0), jnp.float32)
+    variables = model.init(
+        rng, pts, mask, pose, ov, method=model.compute_loss
+    )
+    return variables

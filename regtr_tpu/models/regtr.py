@@ -1,0 +1,229 @@
+"""RegTR: end-to-end point-cloud registration as one jit-compiled graph.
+
+TPU-native rebuild of the flagship model (/root/reference/src/models/
+regtr.py:22-294).  The whole forward — deterministic preprocessing pyramid,
+KPConv encoder, cross-attention conditioning, correspondence decoding, and
+the weighted Kabsch pose solve over all decoder layers and pairs — runs as a
+single XLA program over the dense paired layout:
+
+    points (2B, N0, 3), mask (2B, N0)
+    with sources in batch slots 0..B-1 and targets in slots B..2B-1.
+
+Outputs mirror the reference's contract (regtr.py:218-234): per-layer
+conditioned features, predicted corresponding coordinates + overlap logits,
+and poses (L, B, 3, 4).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.se3 import compute_rigid_transform, se3_inv, se3_transform
+from ..losses.corr import corr_loss
+from ..losses.feature import InfoNCELoss, circle_loss
+from ..losses.overlap import overlap_loss
+from ..nn.backbone import KPFEncoder, encoder_out_dim
+from ..nn.heads import CorrespondenceDecoder, CorrespondenceRegressor
+from ..nn.pos_embed import PositionEmbeddingCoordsSine, PositionEmbeddingLearned
+from ..nn.transformer import TransformerCrossEncoder
+from ..ops.pyramid import PyramidSpec, build_pyramid, compute_overlap_pyramid
+
+
+class RegTR(nn.Module):
+    cfg: Any             # flat Config dict
+    spec: PyramidSpec    # static pyramid shape schedule
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = KPFEncoder(cfg, name="kpf_encoder")
+        self.feat_proj = nn.Dense(cfg["d_embed"], name="feat_proj")
+        if cfg.get("pos_emb_type", "sine") == "sine":
+            self.pos_embed = PositionEmbeddingCoordsSine(
+                3, cfg["d_embed"], scale=cfg.get("pos_emb_scaling", 1.0),
+                name="pos_embed",
+            )
+        else:
+            self.pos_embed = PositionEmbeddingLearned(
+                cfg["d_embed"], name="pos_embed"
+            )
+        self.transformer = TransformerCrossEncoder(
+            d_model=cfg["d_embed"],
+            nhead=cfg["nhead"],
+            num_layers=cfg["num_encoder_layers"],
+            d_feedforward=cfg["d_feedforward"],
+            dropout=cfg.get("dropout", 0.0),
+            activation=cfg.get("transformer_act", "relu"),
+            pre_norm=cfg.get("pre_norm", True),
+            sa_val_has_pos_emb=cfg.get("sa_val_has_pos_emb", True),
+            ca_val_has_pos_emb=cfg.get("ca_val_has_pos_emb", True),
+            name="transformer_encoder",
+        )
+        if cfg.get("direct_regress_coor", False):
+            self.head = CorrespondenceRegressor(cfg["d_embed"], name="head")
+        else:
+            self.head = CorrespondenceDecoder(
+                cfg["d_embed"], cfg.get("corr_decoder_has_pos_emb", True),
+                name="head",
+            )
+        # Feature criteria hold trainable parameters (InfoNCE W), so they are
+        # submodules even though they only act at loss time.
+        if cfg.get("feature_loss_type", "infonce") == "infonce":
+            self.feature_criterion = InfoNCELoss(
+                cfg["d_embed"], cfg["r_p"], cfg["r_n"], name="feature_criterion"
+            )
+            self.feature_criterion_un = InfoNCELoss(
+                cfg["d_embed"], cfg["r_p"], cfg["r_n"],
+                name="feature_criterion_un",
+            )
+        else:
+            self.feature_criterion = None
+            self.feature_criterion_un = None
+
+    def __call__(self, points, mask, deterministic: bool = True
+                 ) -> Dict[str, Any]:
+        """Forward pass.  points (2B, N0, 3); mask (2B, N0)."""
+        cfg = self.cfg
+        b2 = points.shape[0]
+        b = b2 // 2
+
+        levels = build_pyramid(
+            points, mask, self.spec,
+            chunk=int(cfg.get("neighbor_chunk", 1024)),
+        )
+        coarse = levels[-1]
+
+        # Constant input feature (regtr.py:122), masked.
+        feats0 = jnp.where(
+            mask[..., None],
+            jnp.ones(points.shape[:2] + (cfg.get("in_feats_dim", 1),),
+                     points.dtype),
+            0.0,
+        )
+        feats_enc, _ = self.backbone(feats0, levels)
+        feats_un = self.feat_proj(feats_enc)               # (2B, Nc, D)
+
+        pe = self.pos_embed(coarse.points)                 # (2B, Nc, D)
+        pos = pe if cfg.get("transformer_encoder_has_pos_emb", True) else None
+        feats_cond = self.transformer(
+            feats_un, pos, coarse.mask, deterministic
+        )                                                  # (L, 2B, Nc, D)
+
+        corr, overlap_logits = self.head(
+            feats_cond, coarse.points, pe, coarse.mask
+        )                                                  # (L,2B,Nc,3)/(L,2B,Nc,1)
+
+        # Pose solve: stack both directions' correspondences per pair
+        # (regtr.py:184-203), batched over layers x pairs in one SVD call.
+        src_xyz, tgt_xyz = coarse.points[:b], coarse.points[b:]
+        src_mask, tgt_mask = coarse.mask[:b], coarse.mask[b:]
+        src_corr, tgt_corr = corr[:, :b], corr[:, b:]
+        src_ov = jax.nn.sigmoid(overlap_logits[:, :b, :, 0]) * src_mask
+        tgt_ov = jax.nn.sigmoid(overlap_logits[:, b:, :, 0]) * tgt_mask
+
+        num_pred = corr.shape[0]
+        src_xyz_l = jnp.broadcast_to(src_xyz[None], (num_pred,) + src_xyz.shape)
+        tgt_xyz_l = jnp.broadcast_to(tgt_xyz[None], (num_pred,) + tgt_xyz.shape)
+        a = jnp.concatenate([src_xyz_l, tgt_corr], axis=2)   # (L,B,2Nc,3)
+        bb = jnp.concatenate([src_corr, tgt_xyz_l], axis=2)
+        w = jnp.concatenate([src_ov, tgt_ov], axis=2)        # (L,B,2Nc)
+        pose = compute_rigid_transform(a, bb, w)             # (L,B,3,4)
+
+        return {
+            "levels": levels,
+            "feats_un": feats_un,                 # (2B, Nc, D) unconditioned
+            "feats_cond": feats_cond,             # (L, 2B, Nc, D)
+            "kp": coarse.points,                  # (2B, Nc, 3)
+            "kp_mask": coarse.mask,               # (2B, Nc)
+            "corr": corr,                         # (L, 2B, Nc, 3)
+            "overlap_logits": overlap_logits[..., 0],  # (L, 2B, Nc)
+            "pose": pose,                         # (L, B, 3, 4)
+        }
+
+    def compute_loss(self, points, mask, pose_gt, overlap0,
+                     deterministic: bool = False):
+        """Forward + all training losses.
+
+        Args:
+            points/mask: dense paired clouds as in __call__.
+            pose_gt: (B, 3, 4) src->tgt GT transforms.
+            overlap0: (2B, N0) groundtruth overlap labels at the input level.
+
+        Returns:
+            (losses dict incl. 'total', outputs dict)
+
+        Mirrors RegTR.compute_loss (regtr.py:237-294): BCE overlap loss on
+        configured layers, InfoNCE on conditioned + unconditioned features,
+        bidirectional overlap-weighted MAE correspondence loss.
+        """
+        cfg = self.cfg
+        out = self(points, mask, deterministic=deterministic)
+        b2 = points.shape[0]
+        b = b2 // 2
+        num_layers = cfg["num_encoder_layers"]
+
+        losses: Dict[str, jnp.ndarray] = {}
+        weights: Dict[str, float] = {}
+
+        ov_pyr = compute_overlap_pyramid(overlap0, out["levels"])
+        ov_c = ov_pyr[-1]                                  # (2B, Nc)
+        src_ov_gt, tgt_ov_gt = ov_c[:b], ov_c[b:]
+
+        kp_mask = out["kp_mask"]
+        src_kp, tgt_kp = out["kp"][:b], out["kp"][b:]
+        src_mask, tgt_mask = kp_mask[:b], kp_mask[b:]
+
+        # --- overlap BCE ---------------------------------------------------
+        for i in cfg.get("overlap_loss_on", [num_layers - 1]):
+            losses[f"overlap_{i}"] = overlap_loss(
+                out["overlap_logits"][i], ov_c, kp_mask
+            )
+            weights[f"overlap_{i}"] = cfg.get("wt_overlap", 1.0)
+
+        # --- feature losses ------------------------------------------------
+        src_kp_gt_warped = se3_transform(pose_gt, src_kp)  # GT-aligned src kp
+        feat_type = cfg.get("feature_loss_type", "infonce")
+        for i in cfg.get("feature_loss_on", [num_layers - 1]):
+            f = out["feats_cond"][i]
+            if feat_type == "infonce":
+                losses[f"feature_{i}"] = self.feature_criterion(
+                    f[:b], f[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
+                )
+            else:
+                losses[f"feature_{i}"] = circle_loss(
+                    f[:b], f[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
+                    cfg["r_p"], cfg["r_n"],
+                )
+            weights[f"feature_{i}"] = cfg.get("wt_feature", 0.1)
+        fu = out["feats_un"]
+        if feat_type == "infonce":
+            losses["feature_un"] = self.feature_criterion_un(
+                fu[:b], fu[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
+            )
+        else:
+            losses["feature_un"] = circle_loss(
+                fu[:b], fu[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
+                cfg["r_p"], cfg["r_n"],
+            )
+        weights["feature_un"] = cfg.get("wt_feature_un", 0.0)
+
+        # --- correspondence loss (both directions) -------------------------
+        pose_gt_inv = se3_inv(pose_gt)
+        for i in cfg.get("corr_loss_on", [num_layers - 1]):
+            src_l = corr_loss(
+                src_kp, out["corr"][i, :b], pose_gt, src_ov_gt,
+                metric=cfg.get("corr_metric", "mae"),
+            )
+            tgt_l = corr_loss(
+                tgt_kp, out["corr"][i, b:], pose_gt_inv, tgt_ov_gt,
+                metric=cfg.get("corr_metric", "mae"),
+            )
+            losses[f"corr_{i}"] = src_l + tgt_l
+            weights[f"corr_{i}"] = cfg.get("wt_corr", 1.0)
+
+        losses["total"] = sum(
+            losses[k] * weights[k] for k in losses if k != "total"
+        )
+        return losses, out

@@ -1,0 +1,184 @@
+"""KPConv block zoo as flax modules over the dense masked layout.
+
+Functional equivalents of /root/reference/src/models/backbone_kpconv/
+kpconv_blocks.py:429-787 (block_decider, BatchNormBlock, UnaryBlock,
+SimpleBlock, ResnetBottleneckBlock, pooling blocks), redesigned for
+(B, N, C)+mask tensors instead of packed stacks.
+
+Norm semantics: `use_batch_norm: True` in the reference actually applies
+*per-cloud InstanceNorm1d* (no affine parameters) via stack-length slicing
+(kpconv_blocks.py:510-519); here that is a masked instance norm.  With
+use_batch_norm False it degrades to a learned bias.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.masking import masked_instance_norm
+from ..ops.kpconv import kpconv, max_pool
+from ..utils.kernel_points import load_kernel_points
+
+LEAKY_SLOPE = 0.1
+
+
+def leaky_relu(x):
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+class NormBlock(nn.Module):
+    """Masked per-cloud instance norm (use_bn) or learned bias."""
+    dim: int
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask):
+        if self.use_bn:
+            return masked_instance_norm(x, mask)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return x + bias
+
+
+class UnaryBlock(nn.Module):
+    """Linear (no bias) -> norm -> LeakyReLU(0.1)."""
+    out_dim: int
+    use_bn: bool = True
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = nn.Dense(self.out_dim, use_bias=False, name="mlp")(x)
+        x = NormBlock(self.out_dim, self.use_bn, name="norm")(x, mask)
+        if not self.no_relu:
+            x = leaky_relu(x)
+        return x
+
+
+class KPConvLayer(nn.Module):
+    """The KPConv op with its trainable (P, Cin, Cout) weights and fixed
+    deterministic kernel-point dispositions."""
+    num_kernel_points: int
+    in_dim: int
+    out_dim: int
+    extent: float
+    radius: float
+    influence: str = "linear"
+    aggregation: str = "sum"
+    fixed: str = "center"
+    kernel_seed: int = 0
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, q_pts, s_pts, neighb_inds, x):
+        p = self.num_kernel_points
+        # torch kaiming_uniform(a=sqrt(5)) on (P, Cin, Cout) gives
+        # U(+-1/sqrt(Cin*Cout)); we use fan_in = P*Cin which is the
+        # mathematically appropriate fan for this contraction.
+        bound = 1.0 / np.sqrt(p * self.in_dim)
+        weights = self.param(
+            "weights",
+            lambda key, shape: nn.initializers.uniform(scale=2 * bound)(
+                key, shape
+            ) - bound,
+            (p, self.in_dim, self.out_dim),
+        )
+        kp = jnp.asarray(
+            load_kernel_points(self.radius, p, 3, self.fixed, self.kernel_seed)
+        )
+        return kpconv(
+            q_pts, s_pts, neighb_inds, x, kp, weights, self.extent,
+            influence=self.influence, aggregation=self.aggregation,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+class SimpleBlock(nn.Module):
+    """KPConv(out/2) -> norm -> LeakyReLU.
+
+    Mirrors kpconv_blocks.py:590-646 (output dim is out_dim//2; the
+    follow-on block's in_dim accounting matches KPFEncoder)."""
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, levels):
+        cfg = self.cfg
+        extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
+        strided = "strided" in self.block_name
+        lvl = levels[self.layer_ind]
+        if strided:
+            q_lvl = levels[self.layer_ind + 1]
+            q_pts, neigh, out_mask = q_lvl.points, lvl.pools, q_lvl.mask
+        else:
+            q_pts, neigh, out_mask = lvl.points, lvl.neighbors, lvl.mask
+        out = KPConvLayer(
+            cfg["num_kernel_points"], self.in_dim, self.out_dim // 2,
+            extent, self.radius,
+            influence=cfg.get("KP_influence", "linear"),
+            aggregation=cfg.get("aggregation_mode", "sum"),
+            fixed=cfg.get("fixed_kernel_points", "center"),
+            kernel_seed=cfg.get("kernel_seed", 0),
+            name="kpconv",
+        )(q_pts, lvl.points, neigh, x)
+        out = NormBlock(self.out_dim // 2, cfg.get("use_batch_norm", True),
+                        name="norm")(out, out_mask)
+        return leaky_relu(out)
+
+
+class ResnetBottleneckBlock(nn.Module):
+    """unary(out/4) -> KPConv -> norm/relu -> unary(out) + shortcut.
+
+    Mirrors kpconv_blocks.py:649-741."""
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, levels):
+        cfg = self.cfg
+        use_bn = cfg.get("use_batch_norm", True)
+        extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
+        strided = "strided" in self.block_name
+        lvl = levels[self.layer_ind]
+        in_mask = lvl.mask
+        if strided:
+            q_lvl = levels[self.layer_ind + 1]
+            q_pts, neigh, out_mask = q_lvl.points, lvl.pools, q_lvl.mask
+        else:
+            q_pts, neigh, out_mask = lvl.points, lvl.neighbors, lvl.mask
+
+        mid = self.out_dim // 4
+        if self.in_dim != mid:
+            h = UnaryBlock(mid, use_bn, name="unary1")(x, in_mask)
+        else:
+            h = x
+        h = KPConvLayer(
+            cfg["num_kernel_points"], mid, mid, extent, self.radius,
+            influence=cfg.get("KP_influence", "linear"),
+            aggregation=cfg.get("aggregation_mode", "sum"),
+            fixed=cfg.get("fixed_kernel_points", "center"),
+            kernel_seed=cfg.get("kernel_seed", 0),
+            name="kpconv",
+        )(q_pts, lvl.points, neigh, h)
+        h = NormBlock(mid, use_bn, name="norm_conv")(h, out_mask)
+        h = leaky_relu(h)
+        h = UnaryBlock(self.out_dim, use_bn, no_relu=True, name="unary2")(
+            h, out_mask
+        )
+
+        shortcut = max_pool(x, neigh) if strided else x
+        if self.in_dim != self.out_dim:
+            shortcut = UnaryBlock(
+                self.out_dim, use_bn, no_relu=True, name="unary_shortcut"
+            )(shortcut, out_mask)
+        return leaky_relu(h + shortcut)

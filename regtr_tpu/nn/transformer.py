@@ -1,0 +1,166 @@
+"""Cross-attention transformer encoder over paired point clouds.
+
+TPU-native redesign of TransformerCrossEncoder{,Layer}
+(/root/reference/src/models/transformer/transformers.py:18-258, DETR-derived).
+
+Key structural insight exploited here: the reference applies the *same*
+self-attention, cross-attention, FFN and norm weights to both clouds of a
+pair.  With the dense layout (2B clouds: sources in slots 0..B-1, targets in
+B..2B-1) that means:
+  * self-attention runs over the full 2B batch in one fused call;
+  * cross-attention is the same batched attention with keys/values taken
+    from the *partner* cloud — i.e. the batch with its halves swapped.
+No per-cloud Python loops, no separate src/tgt module calls; XLA sees one
+big masked attention per stage.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..core.masking import NEG_INF
+
+
+def swap_pairs(x):
+    """Swap the two halves of the cloud-batch axis: src slots <-> tgt slots."""
+    b2 = x.shape[0]
+    return jnp.concatenate([x[b2 // 2:], x[: b2 // 2]], axis=0)
+
+
+class MultiHeadAttention(nn.Module):
+    """Masked multi-head dot-product attention, (B, N, D) layout.
+
+    Separate q/k/v/out projections (equivalent math to torch's packed
+    MultiheadAttention; the checkpoint converter splits the packed weights).
+    """
+    d_model: int
+    nhead: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, key_mask, deterministic=True):
+        d_head = self.d_model // self.nhead
+        b, nq, _ = q.shape
+        nk = k.shape[1]
+
+        def heads(x, name):
+            y = nn.Dense(self.d_model, name=name)(x)
+            return y.reshape(b, -1, self.nhead, d_head)
+
+        qh = heads(q, "q_proj")
+        kh = heads(k, "k_proj")
+        vh = heads(v, "v_proj")
+
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+        logits = jnp.where(
+            key_mask[:, None, None, :], logits, jnp.asarray(NEG_INF, logits.dtype)
+        )
+        attn = nn.softmax(logits, axis=-1)
+        if self.dropout > 0.0 and not deterministic:
+            attn = nn.Dropout(self.dropout)(attn, deterministic=False)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32
+        ).reshape(b, nq, self.d_model)
+        return nn.Dense(self.d_model, name="out_proj")(out)
+
+
+class CrossEncoderLayer(nn.Module):
+    """One self-attn + cross-attn + FFN stage with shared src/tgt weights.
+
+    Pre-norm (`normalize_before=True`, the shipped-config path) and post-norm
+    variants mirror transformers.py:121-244.
+    """
+    d_model: int
+    nhead: int
+    d_feedforward: int = 1024
+    dropout: float = 0.0
+    activation: str = "relu"
+    pre_norm: bool = True
+    sa_val_has_pos_emb: bool = True
+    ca_val_has_pos_emb: bool = True
+
+    def _act(self, x):
+        return {"relu": nn.relu, "gelu": nn.gelu}[self.activation](x)
+
+    @nn.compact
+    def __call__(self, x, pos, mask, deterministic=True):
+        """x: (2B, N, D) paired features; pos: (2B, N, D) or None;
+        mask: (2B, N) validity."""
+        sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                name="self_attn")
+        ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                name="cross_attn")
+        norm1 = nn.LayerNorm(name="norm1")
+        norm2 = nn.LayerNorm(name="norm2")
+        norm3 = nn.LayerNorm(name="norm3")
+        lin1 = nn.Dense(self.d_feedforward, name="linear1")
+        lin2 = nn.Dense(self.d_model, name="linear2")
+        drop = (lambda y: y) if (self.dropout == 0.0 or deterministic) else (
+            lambda y: nn.Dropout(self.dropout, deterministic=False)(y)
+        )
+
+        def with_pos(t):
+            return t if pos is None else t + pos
+
+        if self.pre_norm:
+            # Self attention
+            x2 = norm1(x)
+            qk = with_pos(x2)
+            v = qk if self.sa_val_has_pos_emb else x2
+            x = x + drop(sa(qk, qk, v, mask, deterministic))
+            # Cross attention: keys/values from the partner cloud
+            x2 = norm2(x)
+            x2_w_pos = with_pos(x2)
+            kv = swap_pairs(x2)
+            kv_w_pos = swap_pairs(x2_w_pos)
+            kv_mask = swap_pairs(mask)
+            v = kv_w_pos if self.ca_val_has_pos_emb else kv
+            x = x + drop(ca(x2_w_pos, kv_w_pos, v, kv_mask, deterministic))
+            # FFN
+            x2 = norm3(x)
+            x = x + drop(lin2(drop(self._act(lin1(x2)))))
+        else:
+            qk = with_pos(x)
+            v = qk if self.sa_val_has_pos_emb else x
+            x = norm1(x + drop(sa(qk, qk, v, mask, deterministic)))
+            x_w_pos = with_pos(x)
+            kv = swap_pairs(x)
+            kv_w_pos = swap_pairs(x_w_pos)
+            kv_mask = swap_pairs(mask)
+            v = kv_w_pos if self.ca_val_has_pos_emb else kv
+            x = norm2(x + drop(ca(x_w_pos, kv_w_pos, v, kv_mask, deterministic)))
+            x = norm3(x + drop(lin2(drop(self._act(lin1(x))))))
+        return x
+
+
+class TransformerCrossEncoder(nn.Module):
+    """Stack of cross-encoder layers returning all per-layer intermediates
+    (N_layers, 2B, N, D), final-norm applied when pre-norm (matches
+    transformers.py:35-59 with return_intermediate=True)."""
+    d_model: int
+    nhead: int
+    num_layers: int
+    d_feedforward: int = 1024
+    dropout: float = 0.0
+    activation: str = "relu"
+    pre_norm: bool = True
+    sa_val_has_pos_emb: bool = True
+    ca_val_has_pos_emb: bool = True
+
+    @nn.compact
+    def __call__(self, x, pos, mask, deterministic=True):
+        final_norm = nn.LayerNorm(name="norm_final") if self.pre_norm else None
+        intermediates = []
+        for i in range(self.num_layers):
+            x = CrossEncoderLayer(
+                self.d_model, self.nhead, self.d_feedforward, self.dropout,
+                self.activation, self.pre_norm,
+                self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,
+                name=f"layer_{i}",
+            )(x, pos, mask, deterministic)
+            intermediates.append(final_norm(x) if final_norm is not None else x)
+        return jnp.stack(intermediates, axis=0)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from .neighbors import radius_neighbors_batch
@@ -98,6 +99,7 @@ def make_pyramid_spec(cfg, n0_capacity: int) -> PyramidSpec:
     )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PyramidLevel:
     points: jnp.ndarray          # (B, N_l, 3)
