@@ -1,0 +1,123 @@
+"""Benchmark: 3DMatch-scale registration inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference reports ~0.1 s/pair (10 pairs/sec) on a Titan RTX for
+3DMatch-scale clouds (BASELINE.md; RegTR paper runtime table).  vs_baseline
+is therefore pairs_per_sec / 10.
+
+The workload is the full register() path — deterministic preprocessing
+pyramid, KPConv encoder, 6-layer cross transformer, correspondence head,
+weighted Kabsch — on real 3DMatch scans (bundled demo data), batched.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Keep the TPU as default platform but make a CPU backend available too:
+# flax's eager init would otherwise dispatch thousands of tiny ops over the
+# remote-TPU tunnel (minutes); we init on CPU and device_put once.
+os.environ.setdefault("JAX_PLATFORMS", "axon")
+if "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def load_pair():
+    import torch
+
+    base = "/root/reference/data/indoor/test/7-scenes-redkitchen"
+    src = np.asarray(
+        torch.load(f"{base}/cloud_bin_0.pth", weights_only=False), np.float32
+    )
+    tgt = np.asarray(
+        torch.load(f"{base}/cloud_bin_5.pth", weights_only=False), np.float32
+    )
+    return src, tgt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from regtr_tpu.models import create_model, init_model_params
+    from regtr_tpu.presets import threedmatch_config
+    from regtr_tpu.train.steps import make_forward
+
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n0 = int(sys.argv[2]) if len(sys.argv) > 2 else 20480
+
+    src, tgt = load_pair()
+    log(f"real scans: src {src.shape}, tgt {tgt.shape}; bucket {n0}, "
+        f"batch {n_pairs} pairs; devices: {jax.devices()}")
+
+    def pad(p):
+        out = np.zeros((n0, 3), np.float32)
+        out[: len(p)] = p[:n0]
+        m = np.zeros(n0, bool)
+        m[: min(len(p), n0)] = True
+        return out, m
+
+    ps, ms = pad(src)
+    pt, mt = pad(tgt)
+    # interleaved pair layout, replicated to n_pairs
+    pts = np.stack([ps, pt] * n_pairs)
+    mask = np.stack([ms, mt] * n_pairs)
+
+    cfg = threedmatch_config()
+    model = create_model(cfg, n0)
+    log(f"pyramid caps: {model.spec.capacities} ks: {model.spec.neighbor_ks}")
+
+    t0 = time.time()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = init_model_params(model, jax.random.PRNGKey(0))
+    else:
+        variables = init_model_params(model, jax.random.PRNGKey(0))
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    jax.block_until_ready(variables)
+    log(f"init: {time.time()-t0:.1f}s on {cpu or dev}; params: "
+        f"{sum(x.size for x in jax.tree_util.tree_leaves(variables['params']))/1e6:.2f}M")
+
+    fwd = make_forward(model)
+    pts_d = jax.device_put(jnp.asarray(pts), dev)
+    mask_d = jax.device_put(jnp.asarray(mask), dev)
+
+    t0 = time.time()
+    out = fwd(variables["params"], pts_d, mask_d)
+    jax.block_until_ready(out["pose"])
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(variables["params"], pts_d, mask_d)
+    jax.block_until_ready(out["pose"])
+    dt = time.time() - t0
+    pairs_per_sec = n_pairs * iters / dt
+    log(f"{iters} iters in {dt:.3f}s -> {pairs_per_sec:.2f} pairs/sec "
+        f"({1000*dt/(iters*n_pairs):.1f} ms/pair)")
+
+    print(json.dumps({
+        "metric": "3dmatch_inference_throughput",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/sec",
+        "vs_baseline": round(pairs_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,15 +36,23 @@ def create_model(cfg, n0_capacity: int):
 
 def init_model_params(model, rng, batch_pairs: int = 1):
     """Initialize the full parameter pytree (including loss-criterion params,
-    which only materialize through the loss path) on tiny dummy inputs."""
+    which only materialize through the loss path).
+
+    Parameter shapes depend only on the architecture config, not on the
+    pyramid capacities, so initialization runs through a tiny-capacity clone
+    of the model — flax's eager init over full-size activations would be
+    needlessly slow (especially against a remote device)."""
+    import numpy as np
     import jax.numpy as jnp
 
-    n0 = model.spec.capacities[0]
-    pts = jnp.zeros((2 * batch_pairs, n0, 3), jnp.float32)
+    n0 = min(64, model.spec.capacities[0])
+    tiny = type(model)(cfg=model.cfg, spec=make_pyramid_spec(model.cfg, n0))
+    rnd = np.random.RandomState(0)
+    pts = jnp.asarray(rnd.rand(2 * batch_pairs, n0, 3).astype(np.float32))
     mask = jnp.ones((2 * batch_pairs, n0), bool)
     pose = jnp.broadcast_to(jnp.eye(3, 4), (batch_pairs, 3, 4))
     ov = jnp.ones((2 * batch_pairs, n0), jnp.float32)
-    variables = model.init(
-        rng, pts, mask, pose, ov, method=model.compute_loss
+    variables = tiny.init(
+        rng, pts, mask, pose, ov, method=tiny.compute_loss
     )
     return variables

@@ -7,7 +7,8 @@ the weighted Kabsch pose solve over all decoder layers and pairs — runs as a
 single XLA program over the dense paired layout:
 
     points (2B, N0, 3), mask (2B, N0)
-    with sources in batch slots 0..B-1 and targets in slots B..2B-1.
+    with pairs interleaved: slot 2i = source of pair i, slot 2i+1 = target
+    (see core/pairs.py for why this layout shards cleanly).
 
 Outputs mirror the reference's contract (regtr.py:218-234): per-layer
 conditioned features, predicted corresponding coordinates + overlap logits,
@@ -21,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..core.pairs import split_pairs
 from ..core.se3 import compute_rigid_transform, se3_inv, se3_transform
 from ..losses.corr import corr_loss
 from ..losses.feature import InfoNCELoss, circle_loss
@@ -117,11 +119,12 @@ class RegTR(nn.Module):
 
         # Pose solve: stack both directions' correspondences per pair
         # (regtr.py:184-203), batched over layers x pairs in one SVD call.
-        src_xyz, tgt_xyz = coarse.points[:b], coarse.points[b:]
-        src_mask, tgt_mask = coarse.mask[:b], coarse.mask[b:]
-        src_corr, tgt_corr = corr[:, :b], corr[:, b:]
-        src_ov = jax.nn.sigmoid(overlap_logits[:, :b, :, 0]) * src_mask
-        tgt_ov = jax.nn.sigmoid(overlap_logits[:, b:, :, 0]) * tgt_mask
+        src_xyz, tgt_xyz = split_pairs(coarse.points)
+        src_mask, tgt_mask = split_pairs(coarse.mask)
+        src_corr, tgt_corr = split_pairs(corr, axis=1)
+        src_ovl, tgt_ovl = split_pairs(overlap_logits[..., 0], axis=1)
+        src_ov = jax.nn.sigmoid(src_ovl) * src_mask
+        tgt_ov = jax.nn.sigmoid(tgt_ovl) * tgt_mask
 
         num_pred = corr.shape[0]
         src_xyz_l = jnp.broadcast_to(src_xyz[None], (num_pred,) + src_xyz.shape)
@@ -169,11 +172,11 @@ class RegTR(nn.Module):
 
         ov_pyr = compute_overlap_pyramid(overlap0, out["levels"])
         ov_c = ov_pyr[-1]                                  # (2B, Nc)
-        src_ov_gt, tgt_ov_gt = ov_c[:b], ov_c[b:]
+        src_ov_gt, tgt_ov_gt = split_pairs(ov_c)
 
         kp_mask = out["kp_mask"]
-        src_kp, tgt_kp = out["kp"][:b], out["kp"][b:]
-        src_mask, tgt_mask = kp_mask[:b], kp_mask[b:]
+        src_kp, tgt_kp = split_pairs(out["kp"])
+        src_mask, tgt_mask = split_pairs(kp_mask)
 
         # --- overlap BCE ---------------------------------------------------
         for i in cfg.get("overlap_loss_on", [num_layers - 1]):
@@ -186,25 +189,25 @@ class RegTR(nn.Module):
         src_kp_gt_warped = se3_transform(pose_gt, src_kp)  # GT-aligned src kp
         feat_type = cfg.get("feature_loss_type", "infonce")
         for i in cfg.get("feature_loss_on", [num_layers - 1]):
-            f = out["feats_cond"][i]
+            f_src, f_tgt = split_pairs(out["feats_cond"][i])
             if feat_type == "infonce":
                 losses[f"feature_{i}"] = self.feature_criterion(
-                    f[:b], f[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
+                    f_src, f_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
                 )
             else:
                 losses[f"feature_{i}"] = circle_loss(
-                    f[:b], f[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
+                    f_src, f_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
                     cfg["r_p"], cfg["r_n"],
                 )
             weights[f"feature_{i}"] = cfg.get("wt_feature", 0.1)
-        fu = out["feats_un"]
+        fu_src, fu_tgt = split_pairs(out["feats_un"])
         if feat_type == "infonce":
             losses["feature_un"] = self.feature_criterion_un(
-                fu[:b], fu[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
+                fu_src, fu_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
             )
         else:
             losses["feature_un"] = circle_loss(
-                fu[:b], fu[b:], src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
+                fu_src, fu_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
                 cfg["r_p"], cfg["r_n"],
             )
         weights["feature_un"] = cfg.get("wt_feature_un", 0.0)
@@ -212,12 +215,13 @@ class RegTR(nn.Module):
         # --- correspondence loss (both directions) -------------------------
         pose_gt_inv = se3_inv(pose_gt)
         for i in cfg.get("corr_loss_on", [num_layers - 1]):
+            corr_src, corr_tgt = split_pairs(out["corr"][i])
             src_l = corr_loss(
-                src_kp, out["corr"][i, :b], pose_gt, src_ov_gt,
+                src_kp, corr_src, pose_gt, src_ov_gt,
                 metric=cfg.get("corr_metric", "mae"),
             )
             tgt_l = corr_loss(
-                tgt_kp, out["corr"][i, b:], pose_gt_inv, tgt_ov_gt,
+                tgt_kp, corr_tgt, pose_gt_inv, tgt_ov_gt,
                 metric=cfg.get("corr_metric", "mae"),
             )
             losses[f"corr_{i}"] = src_l + tgt_l

@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.masking import NEG_INF
-from .transformer import swap_pairs
+from ..core.pairs import swap_pairs
 
 
 class CorrespondenceRegressor(nn.Module):
@@ -50,9 +50,8 @@ class CorrespondenceDecoder(nn.Module):
         )
         k = nn.Dense(self.d_embed, name="k_proj")(feats_q)
 
-        # swap the pair halves along the cloud-batch axis (axis 1 of L,2B,N,D)
-        b2 = k.shape[1]
-        k_partner = jnp.concatenate([k[:, b2 // 2:], k[:, : b2 // 2]], axis=1)
+        # swap partners along the cloud-batch axis (axis 1 of L,2B,N,D)
+        k_partner = swap_pairs(k, axis=1)
         v_partner = swap_pairs(xyz)                       # (2B, N, 3)
         mask_partner = swap_pairs(mask)                   # (2B, N)
 

@@ -5,11 +5,12 @@ TPU-native redesign of TransformerCrossEncoder{,Layer}
 
 Key structural insight exploited here: the reference applies the *same*
 self-attention, cross-attention, FFN and norm weights to both clouds of a
-pair.  With the dense layout (2B clouds: sources in slots 0..B-1, targets in
-B..2B-1) that means:
+pair.  With the interleaved paired layout (2B clouds: slot 2i = source of
+pair i, slot 2i+1 = target) that means:
   * self-attention runs over the full 2B batch in one fused call;
   * cross-attention is the same batched attention with keys/values taken
-    from the *partner* cloud — i.e. the batch with its halves swapped.
+    from the *partner* cloud — i.e. the batch with adjacent slots swapped,
+    a device-local reshape even under data-parallel sharding.
 No per-cloud Python loops, no separate src/tgt module calls; XLA sees one
 big masked attention per stage.
 """
@@ -21,12 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.masking import NEG_INF
-
-
-def swap_pairs(x):
-    """Swap the two halves of the cloud-batch axis: src slots <-> tgt slots."""
-    b2 = x.shape[0]
-    return jnp.concatenate([x[b2 // 2:], x[: b2 // 2]], axis=0)
+from ..core.pairs import swap_pairs
 
 
 class MultiHeadAttention(nn.Module):

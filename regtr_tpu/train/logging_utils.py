@@ -1,0 +1,141 @@
+"""Logging, metric accumulation, and run provenance.
+
+Equivalents of the reference's observability stack:
+  * prepare_logger (/root/reference/src/cvhelpers/misc.py:58-114): colored
+    console + log.txt, timestamped run dirs, git-SHA provenance
+  * AverageMeter/StatsMeter (/root/reference/src/utils/misc.py:40-97)
+  * TensorBoard scalar summaries (/root/reference/src/models/
+    generic_model.py:99-117) — here: always-on metrics.jsonl plus optional
+    torch TensorBoard writer when the package is importable.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import subprocess
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+
+def prepare_logger(log_path=None, dev: bool = False, name: str = "regtr_tpu"):
+    """Create the run directory (timestamped, or ../logdev wiped when dev)
+    and wire console + file logging.  Returns (logger, logdir)."""
+    if dev:
+        logdir = Path("../logdev")
+        if logdir.exists():
+            import shutil
+
+            shutil.rmtree(logdir)
+    else:
+        base = Path(log_path) if log_path else Path("../logs")
+        logdir = base / time.strftime("%y%m%d_%H%M%S")
+    logdir.mkdir(parents=True, exist_ok=True)
+
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    logger.handlers.clear()
+    console = logging.StreamHandler(sys.stdout)
+    console.setLevel(logging.INFO)
+    console.setFormatter(
+        logging.Formatter("%(asctime)s [%(levelname)s] %(message)s", "%H:%M:%S")
+    )
+    logger.addHandler(console)
+    fileh = logging.FileHandler(logdir / "log.txt")
+    fileh.setLevel(logging.DEBUG)
+    fileh.setFormatter(
+        logging.Formatter("%(asctime)s [%(levelname)s] %(name)s: %(message)s")
+    )
+    logger.addHandler(fileh)
+
+    # Provenance: command line + git state (misc.py:20-44).
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            timeout=5,
+        ).stdout.strip()
+        diff = subprocess.run(
+            ["git", "diff"], capture_output=True, text=True, timeout=10
+        ).stdout
+        (logdir / "compareHead.diff").write_text(diff)
+    except Exception:
+        sha = "unknown"
+    logger.info("Command: %s", " ".join(sys.argv))
+    logger.info("Git SHA: %s; logdir: %s", sha, logdir)
+    return logger, logdir
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, value, n=1):
+        if np.isfinite(value):
+            self.sum += float(value) * n
+            self.count += n
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+class StatsMeter:
+    """Dict of AverageMeters keyed by metric name."""
+
+    def __init__(self):
+        self.meters = defaultdict(AverageMeter)
+
+    def update(self, metrics: dict):
+        for k, v in metrics.items():
+            v = np.asarray(v)
+            if v.ndim == 0:
+                self.meters[k].update(float(v))
+            else:
+                # Per-layer vectors: log the final layer + full vector mean.
+                self.meters[k].update(float(v.reshape(-1)[-1]))
+
+    def averages(self):
+        return {k: m.avg for k, m in self.meters.items()}
+
+    def reset(self):
+        self.meters.clear()
+
+
+class MetricsWriter:
+    """metrics.jsonl (always) + TensorBoard (when available)."""
+
+    def __init__(self, logdir, subdir="train"):
+        self.path = Path(logdir) / f"metrics_{subdir}.jsonl"
+        self._f = open(self.path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(str(Path(logdir) / subdir))
+        except Exception:
+            pass
+
+    def write(self, step: int, metrics: dict):
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            arr = np.asarray(v)
+            rec[k] = float(arr.reshape(-1)[-1]) if arr.ndim else float(arr)
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()

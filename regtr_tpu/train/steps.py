@@ -1,0 +1,122 @@
+"""Jitted train/eval step builders.
+
+Replaces the reference's imperative loop body (/root/reference/src/
+trainer.py:100-141: zero_grad -> backward -> clip -> opt.step -> sched.step)
+with one donated, optionally mesh-sharded XLA program per step.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from ..core.se3 import se3_compare
+from ..parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def registration_metrics(pose_pred, pose_gt, cfg) -> Dict[str, jnp.ndarray]:
+    """Rot/trans errors per decoder layer + success rate at the validation
+    thresholds (generic_reg_model.py:197-250)."""
+    err = se3_compare(pose_pred, pose_gt[None])           # over (L, B)
+    rot_thresh = float(cfg.get("reg_success_thresh_rot", 10.0))
+    trans_thresh = float(cfg.get("reg_success_thresh_trans", 0.1))
+    success = (
+        (err["rot_deg"] < rot_thresh) & (err["trans"] < trans_thresh)
+    ).astype(jnp.float32)
+    return {
+        "rot_err_deg": jnp.mean(err["rot_deg"], axis=-1),   # (L,)
+        "trans_err": jnp.mean(err["trans"], axis=-1),       # (L,)
+        "reg_success": jnp.mean(success, axis=-1),          # (L,)
+        "reg_success_final": jnp.mean(success[-1]),
+    }
+
+
+def make_train_step(model, mesh=None, donate: bool = True):
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: {'points' (2B,N,3), 'mask' (2B,N), 'pose' (B,3,4),
+            'overlap0' (2B,N)} — pairs interleaved.
+    """
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        def loss_fn(params):
+            losses, out = model.apply(
+                {"params": params},
+                batch["points"], batch["mask"],
+                batch["pose"], batch["overlap0"],
+                method=model.compute_loss,
+            )
+            return losses["total"], (losses, out["pose"])
+
+        grads, (losses, pose_pred) = jax.grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        metrics = dict(losses)
+        metrics.update(registration_metrics(pose_pred, batch["pose"], model.cfg))
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return new_state, metrics
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        kwargs["in_shardings"] = (rep, {
+            "points": bs, "mask": bs,
+            "pose": bs, "overlap0": bs,
+        })
+        kwargs["out_shardings"] = (rep, rep)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(model, mesh=None):
+    """Returns eval_step(params, batch) -> metrics (losses + registration)."""
+
+    def step(params, batch):
+        losses, out = model.apply(
+            {"params": params},
+            batch["points"], batch["mask"],
+            batch["pose"], batch["overlap0"],
+            method=model.compute_loss,
+            deterministic=True,
+        )
+        metrics = dict(losses)
+        metrics.update(
+            registration_metrics(out["pose"], batch["pose"], model.cfg)
+        )
+        return metrics
+
+    kwargs = {}
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        kwargs["in_shardings"] = (rep, {
+            "points": bs, "mask": bs, "pose": bs, "overlap0": bs,
+        })
+        kwargs["out_shardings"] = rep
+    return jax.jit(step, **kwargs)
+
+
+def make_forward(model, mesh=None):
+    """Returns forward(params, points, mask) -> outputs (inference path)."""
+
+    def fwd(params, points, mask):
+        return model.apply({"params": params}, points, mask)
+
+    kwargs = {}
+    if mesh is not None:
+        bs = batch_sharding(mesh)
+        rep = replicated(mesh)
+        kwargs["in_shardings"] = (rep, bs, bs)
+    return jax.jit(fwd, **kwargs)

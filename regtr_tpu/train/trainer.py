@@ -1,0 +1,162 @@
+"""Training/eval runtime.
+
+Equivalent of Trainer (/root/reference/src/trainer.py:38-269) redesigned for
+the jitted-step world: the loop body is one donated XLA program; the host
+loop only feeds bucketed batches, accumulates metrics, runs periodic
+validation, and checkpoints (orbax, best-by-val-score retention).
+
+Differences from the reference (by design):
+  * negative `niter` means epochs, positive means steps (same convention,
+    trainer.py:64);
+  * per-step try/except resilience (trainer.py:137-141) is replaced by
+    non-finite-loss detection + skip, since shape errors can't occur with
+    bucketed static shapes;
+  * jit caches per bucket size: the first batch of each bucket compiles, the
+    rest reuse.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import replicated, shard_batch
+from .checkpoints import CheckpointManager
+from .logging_utils import MetricsWriter, StatsMeter
+from .optim import make_optimizer
+from .steps import TrainState, make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, cfg, logdir, mesh=None, grad_clip=None,
+                 summary_every: int = 500, validate_every: int = -1,
+                 nb_sanity_val_steps: int = 2):
+        self.cfg = cfg
+        self.logdir = Path(logdir)
+        self.mesh = mesh
+        self.summary_every = summary_every
+        self.validate_every = validate_every
+        self.nb_sanity_val_steps = nb_sanity_val_steps
+        self.logger = logging.getLogger("regtr_tpu")
+        self.saver = CheckpointManager(
+            self.logdir / "ckpt", max_to_keep=6, keep_every_hours=3.0
+        )
+
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def fit(self, model, train_loader, val_loader,
+            resume: Optional[str] = None, niter: int = -1):
+        cfg = self.cfg
+        tx = make_optimizer(cfg)
+        import jax.random as jrandom
+
+        from ..models import init_model_params
+
+        variables = init_model_params(model, jrandom.PRNGKey(cfg.get("seed", 0)))
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx
+        )
+        step = 0
+        if resume is not None:
+            state, step = self.saver.restore(state)
+            self.logger.info("Resumed from step %d", step)
+        if self.mesh is not None:
+            state = jax.device_put(state, replicated(self.mesh))
+
+        train_step = make_train_step(model, mesh=self.mesh)
+        eval_step = make_eval_step(model, mesh=self.mesh)
+
+        if niter < 0:
+            total_steps = -niter * len(train_loader)
+            self.logger.info(
+                "Training for %d epochs (%d steps)", -niter, total_steps
+            )
+        else:
+            total_steps = niter
+
+        validate_every = self.validate_every
+        if validate_every < 0:
+            validate_every = len(train_loader)  # once per epoch
+
+        # Sanity validation (train.py:40-41, trainer.py:77-80).
+        if self.nb_sanity_val_steps > 0 and val_loader is not None:
+            self._run_validation(
+                eval_step, state, val_loader, limit=self.nb_sanity_val_steps
+            )
+
+        writer = MetricsWriter(self.logdir, "train")
+        meters = StatsMeter()
+        best_score = -np.inf
+        epoch = 0
+        t_last = time.time()
+        done = False
+        while not done:
+            train_loader.set_epoch(epoch)
+            for batch, _meta in train_loader:
+                state, metrics = train_step(state, self._put(batch))
+                step += 1
+                total = float(metrics["total"])
+                if not np.isfinite(total):
+                    self.logger.warning(
+                        "Non-finite loss at step %d; skipping metrics", step
+                    )
+                else:
+                    meters.update(
+                        {k: np.asarray(v) for k, v in metrics.items()}
+                    )
+                if step % self.summary_every == 0:
+                    avgs = meters.averages()
+                    rate = self.summary_every / (time.time() - t_last)
+                    t_last = time.time()
+                    self.logger.info(
+                        "step %d | loss %.4f | %.2f it/s | %s", step,
+                        avgs.get("total", float("nan")), rate,
+                        ", ".join(f"{k}={v:.4f}" for k, v in sorted(avgs.items())
+                                  if k != "total"),
+                    )
+                    writer.write(step, avgs)
+                    meters.reset()
+                if validate_every > 0 and step % validate_every == 0 \
+                        and val_loader is not None:
+                    score = self._run_validation(eval_step, state, val_loader)
+                    self.saver.save(step, state, score=score)
+                    best_score = max(best_score, score)
+                if step >= total_steps:
+                    done = True
+                    break
+            epoch += 1
+        if val_loader is not None:
+            score = self._run_validation(eval_step, state, val_loader)
+            self.saver.save(step, state, score=score)
+        writer.close()
+        return state, step
+
+    def _run_validation(self, eval_step, state, val_loader, limit=None):
+        meters = StatsMeter()
+        for i, (batch, _meta) in enumerate(val_loader):
+            if limit is not None and i >= limit:
+                break
+            metrics = eval_step(state.params, self._put(batch))
+            meters.update({k: np.asarray(v) for k, v in metrics.items()})
+        avgs = meters.averages()
+        score = avgs.get("reg_success_final", 0.0)
+        self.logger.info(
+            "validation | score %.4f | %s", score,
+            ", ".join(f"{k}={v:.4f}" for k, v in sorted(avgs.items())),
+        )
+        return score
+
+    def test(self, model, test_loader, params, test_step_fn):
+        """Run the dataset-specific test protocol; see eval/ for the
+        benchmark writers (generic_reg_model.py:130-195)."""
+        all_out = []
+        for batch, meta in test_loader:
+            all_out.append(test_step_fn(params, self._put(batch), meta))
+        return all_out

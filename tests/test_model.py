@@ -1,0 +1,200 @@
+"""Model-level tests: forward contract, loss/grads, invariances, sharding."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from regtr_tpu.core import se3_np
+from regtr_tpu.core.pairs import interleave_pairs, split_pairs, swap_pairs
+from regtr_tpu.models import create_model, init_model_params
+from regtr_tpu.presets import tiny_config
+
+
+N0 = 96
+B = 2
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = create_model(tiny_config(), N0)
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    return model, variables["params"]
+
+
+def synthetic_batch(seed=0, n_pairs=B):
+    rng = np.random.RandomState(seed)
+    src = rng.rand(n_pairs, N0, 3).astype(np.float32) - 0.5
+    poses = np.stack(
+        [se3_np.se3_init(se3_np.sample_uniform_rotation(rng, max_deg=30.0),
+                         rng.randn(3).astype(np.float32) * 0.1)
+         for _ in range(n_pairs)]
+    )
+    tgt = np.einsum("bij,bnj->bni", poses[:, :, :3], src) + poses[:, None, :, 3]
+    pts = np.empty((2 * n_pairs, N0, 3), np.float32)
+    pts[0::2], pts[1::2] = src, tgt
+    mask = np.ones((2 * n_pairs, N0), bool)
+    overlap0 = np.ones((2 * n_pairs, N0), np.float32)
+    return {
+        "points": jnp.asarray(pts),
+        "mask": jnp.asarray(mask),
+        "pose": jnp.asarray(poses),
+        "overlap0": jnp.asarray(overlap0),
+    }
+
+
+class TestPairs:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        src = jnp.asarray(rng.randn(3, 5, 2))
+        tgt = jnp.asarray(rng.randn(3, 5, 2))
+        both = interleave_pairs(src, tgt)
+        s2, t2 = split_pairs(both)
+        np.testing.assert_array_equal(s2, src)
+        np.testing.assert_array_equal(t2, tgt)
+        swapped = swap_pairs(both)
+        s3, t3 = split_pairs(swapped)
+        np.testing.assert_array_equal(s3, tgt)
+        np.testing.assert_array_equal(t3, src)
+
+    def test_axis1(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(4, 6, 3))
+        sw = swap_pairs(x, axis=1)
+        np.testing.assert_array_equal(sw[:, 0], x[:, 1])
+        np.testing.assert_array_equal(sw[:, 5], x[:, 4])
+
+
+class TestForward:
+    def test_output_contract(self, model_and_params):
+        model, params = model_and_params
+        batch = synthetic_batch()
+        out = model.apply({"params": params}, batch["points"], batch["mask"])
+        L = model.cfg["num_encoder_layers"]
+        nc = model.spec.capacities[-1]
+        assert out["pose"].shape == (L, B, 3, 4)
+        assert out["corr"].shape == (L, 2 * B, nc, 3)
+        assert out["overlap_logits"].shape == (L, 2 * B, nc)
+        assert out["feats_cond"].shape == (L, 2 * B, nc, model.cfg["d_embed"])
+        for k in ("pose", "corr", "overlap_logits", "feats_cond", "feats_un"):
+            assert bool(jnp.all(jnp.isfinite(out[k]))), k
+
+    def test_rotation_valid(self, model_and_params):
+        model, params = model_and_params
+        batch = synthetic_batch()
+        out = model.apply({"params": params}, batch["points"], batch["mask"])
+        rot = np.asarray(out["pose"][..., :3])
+        rtr = np.einsum("lbij,lbkj->lbik", rot, rot)
+        np.testing.assert_allclose(
+            rtr, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-4
+        )
+        det = np.linalg.det(rot)
+        np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+    def test_padding_invariance(self, model_and_params):
+        """Growing the padding region must not change valid outputs."""
+        model, params = model_and_params
+        batch = synthetic_batch()
+        mask2 = np.asarray(batch["mask"]).copy()
+        mask2[:, 80:] = False
+        out_a = model.apply(
+            {"params": params}, batch["points"], jnp.asarray(mask2)
+        )
+        pts_b = np.asarray(batch["points"]).copy()
+        pts_b[:, 80:] = 7.7  # garbage in padding
+        out_b = model.apply(
+            {"params": params}, jnp.asarray(pts_b), jnp.asarray(mask2)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_a["pose"]), np.asarray(out_b["pose"]),
+            atol=2e-4,
+        )
+
+    def test_loss_and_grads_finite(self, model_and_params):
+        model, params = model_and_params
+        batch = synthetic_batch()
+
+        def loss_fn(p):
+            losses, _ = model.apply(
+                {"params": p}, batch["points"], batch["mask"],
+                batch["pose"], batch["overlap0"], method=model.compute_loss,
+            )
+            return losses["total"], losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        assert np.isfinite(float(total))
+        for k, v in losses.items():
+            assert np.isfinite(float(v)), k
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        # InfoNCE W receives gradient
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        w_grads = [g for p, g in flat if any("criterion" in str(k) for k in p)]
+        assert any(float(jnp.abs(g).max()) > 0 for g in w_grads)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, model_and_params):
+        from regtr_tpu.train.optim import make_optimizer
+        from regtr_tpu.train.steps import TrainState, make_train_step
+
+        model, params = model_and_params
+        cfg = model.cfg.copy()
+        cfg["base_lr"] = 1e-3
+        cfg["scheduler"] = "none"
+        tx = make_optimizer(cfg)
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=tx
+        )
+        step = make_train_step(model, donate=False)
+        batch = synthetic_batch()
+        first = None
+        for i in range(8):
+            state, metrics = step(state, batch)
+            if first is None:
+                first = float(metrics["total"])
+        last = float(metrics["total"])
+        assert np.isfinite(last)
+        assert last < first, (first, last)
+
+    def test_sharded_train_step_on_mesh(self, model_and_params):
+        """Full train step over the virtual 8-device mesh."""
+        from regtr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+        from regtr_tpu.train.optim import make_optimizer
+        from regtr_tpu.train.steps import TrainState, make_train_step
+
+        model, params = model_and_params
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev)
+        tx = make_optimizer(model.cfg)
+        state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        state = jax.device_put(state, replicated(mesh))
+        step = make_train_step(model, mesh=mesh, donate=False)
+        batch = shard_batch(synthetic_batch(n_pairs=n_dev), mesh)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["total"]))
+
+    def test_sharded_matches_single_device(self, model_and_params):
+        """Data-parallel step computes the same loss as unsharded."""
+        from regtr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+        from regtr_tpu.train.optim import make_optimizer
+        from regtr_tpu.train.steps import TrainState, make_train_step
+
+        model, params = model_and_params
+        n_dev = len(jax.devices())
+        batch = synthetic_batch(n_pairs=n_dev)
+
+        tx = make_optimizer(model.cfg)
+        s0 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        step0 = make_train_step(model, donate=False)
+        _, m0 = step0(s0, batch)
+
+        mesh = make_mesh(n_dev)
+        s1 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+        s1 = jax.device_put(s1, replicated(mesh))
+        step1 = make_train_step(model, mesh=mesh, donate=False)
+        _, m1 = step1(s1, shard_batch(batch, mesh))
+        np.testing.assert_allclose(
+            float(m0["total"]), float(m1["total"]), rtol=2e-4
+        )
