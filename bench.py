@@ -96,17 +96,27 @@ def main():
     pts_d = jax.device_put(jnp.asarray(pts), dev)
     mask_d = jax.device_put(jnp.asarray(mask), dev)
 
+    def sync(o):
+        # On the tunneled TPU backend block_until_ready does not reliably
+        # block; force execution with a tiny scalar device->host round trip.
+        return float(jnp.sum(o["pose"].astype(jnp.float32)))
+
     t0 = time.time()
     out = fwd(variables["params"], pts_d, mask_d)
-    jax.block_until_ready(out["pose"])
+    sync(out)
     log(f"compile+first run: {time.time()-t0:.1f}s")
+    sync(fwd(variables["params"], pts_d, mask_d))  # warm
+    t0 = time.time()
+    sync(out)
+    rtt = time.time() - t0
+    log(f"sync rtt: {rtt*1000:.0f} ms")
 
-    iters = 5
+    iters = 10
     t0 = time.time()
     for _ in range(iters):
         out = fwd(variables["params"], pts_d, mask_d)
-    jax.block_until_ready(out["pose"])
-    dt = time.time() - t0
+    sync(out)
+    dt = time.time() - t0 - rtt
     pairs_per_sec = n_pairs * iters / dt
     log(f"{iters} iters in {dt:.3f}s -> {pairs_per_sec:.2f} pairs/sec "
         f"({1000*dt/(iters*n_pairs):.1f} ms/pair)")

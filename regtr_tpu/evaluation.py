@@ -1,0 +1,146 @@
+"""Dataset-specific test protocols.
+
+Equivalent of the test paths in GenericRegModel (/root/reference/src/models/
+generic_reg_model.py:125-195):
+  * 3dmatch: per-scene est.log written in Redwood format, then registration
+    recall via the Predator protocol against the bundled gt trajectories.
+  * modelnet: DCP/RPMNet pose metrics + Chamfer, poses saved to
+    pred_transforms.npy.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .benchmark import modelnet as bm_modelnet
+from .benchmark import predator as bm_predator
+from .benchmark.predator import write_est_log
+from .core import se3_np
+from .train.steps import make_forward
+
+logger = logging.getLogger("regtr_tpu")
+
+DEFAULT_GT_BENCHMARK_DIR = "/root/reference/src/datasets/3dmatch/benchmarks"
+
+
+def _pose_to_4x4(pose_3x4):
+    return np.concatenate(
+        [np.asarray(pose_3x4, np.float64), [[0.0, 0.0, 0.0, 1.0]]], axis=0
+    )
+
+
+def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
+             gt_benchmark_dir=DEFAULT_GT_BENCHMARK_DIR):
+    """Run the full test protocol; returns a dict of summary results."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fwd = make_forward(model, mesh=mesh)
+    dataset_name = cfg.get("dataset", "modelnet")
+    benchmark = cfg.get("benchmark", "3DMatch")
+
+    rot_errs, trans_errs = [], []
+    mn_metrics, mn_poses = [], []
+
+    import jax.numpy as jnp
+
+    for batch, meta in test_loader:
+        out = fwd(params, jnp.asarray(batch["points"]),
+                  jnp.asarray(batch["mask"]))
+        pose_final = np.asarray(out["pose"][-1])      # (B, 3, 4)
+        err = se3_np.se3_compare(pose_final, batch["pose"])
+        rot_errs.extend(err["rot_deg"].tolist())
+        trans_errs.extend(err["trans"].tolist())
+
+        if dataset_name == "3dmatch":
+            for b in range(pose_final.shape[0]):
+                src_path = meta["src_path"][b]
+                tgt_path = meta["tgt_path"][b]
+                scene = src_path.split(os.path.sep)[1]
+                src_idx = int(
+                    os.path.basename(src_path).split("_")[-1].replace(".pth", "")
+                )
+                tgt_idx = int(
+                    os.path.basename(tgt_path).split("_")[-1].replace(".pth", "")
+                )
+                scene_dir = out_dir / benchmark / scene
+                scene_dir.mkdir(parents=True, exist_ok=True)
+                write_est_log(
+                    scene_dir / "est.log", tgt_idx, src_idx,
+                    _pose_to_4x4(pose_final[b]),
+                )
+        elif dataset_name in ("modelnet", "synthetic"):
+            b = pose_final.shape[0]
+            src, _ = _split_batch_clouds(batch)
+            data = {
+                "points_src": _ragged_valid(batch, 0),
+                "points_ref": _ragged_valid(batch, 1),
+                "points_raw": meta["tgt_raw"],
+                "transform_gt": batch["pose"],
+            }
+            mn_metrics.append(_modelnet_metrics_ragged(data, pose_final))
+            mn_poses.append(pose_final)
+
+    results = {
+        "rot_err_deg_mean": float(np.mean(rot_errs)),
+        "trans_err_mean": float(np.mean(trans_errs)),
+        "reg_success": float(np.mean(
+            (np.array(rot_errs) < cfg.get("reg_success_thresh_rot", 10))
+            & (np.array(trans_errs) < cfg.get("reg_success_thresh_trans", 0.1))
+        )),
+    }
+
+    if dataset_name == "3dmatch":
+        gt_dir = os.path.join(gt_benchmark_dir, benchmark)
+        if os.path.exists(gt_dir):
+            report, recall = bm_predator.benchmark(
+                str(out_dir / benchmark), gt_dir
+            )
+            logger.info("\n%s", report)
+            results["registration_recall"] = recall
+            (out_dir / "benchmark_report.txt").write_text(report)
+        else:
+            logger.warning("GT benchmark dir %s missing; recall skipped", gt_dir)
+    elif dataset_name in ("modelnet", "synthetic") and mn_metrics:
+        keys = mn_metrics[0].keys()
+        cat = {k: np.concatenate([m[k] for m in mn_metrics]) for k in keys}
+        summary = bm_modelnet.summarize_metrics(cat)
+        bm_modelnet.print_metrics(logger, summary)
+        results.update(summary)
+        np.save(out_dir / "pred_transforms.npy", np.concatenate(mn_poses))
+
+    return results
+
+
+def _ragged_valid(batch, which):
+    """Extract per-pair valid clouds (list of (Ni, 3)) for src (0) / tgt (1)."""
+    pts, mask = batch["points"], batch["mask"]
+    out = []
+    for i in range(pts.shape[0] // 2):
+        slot = 2 * i + which
+        out.append(np.asarray(pts[slot][mask[slot]]))
+    return out
+
+
+def _split_batch_clouds(batch):
+    return _ragged_valid(batch, 0), _ragged_valid(batch, 1)
+
+
+def _modelnet_metrics_ragged(data, pose_final):
+    """ModelNet metrics over possibly ragged per-pair clouds: pad each pair
+    to its own shapes by evaluating pairs independently."""
+    n = pose_final.shape[0]
+    per_pair = []
+    for b in range(n):
+        d = {
+            "points_src": data["points_src"][b][None],
+            "points_ref": data["points_ref"][b][None],
+            "points_raw": np.asarray(data["points_raw"][b])[None],
+            "transform_gt": np.asarray(data["transform_gt"][b])[None],
+        }
+        per_pair.append(bm_modelnet.compute_metrics(d, pose_final[b][None]))
+    return {
+        k: np.concatenate([p[k] for p in per_pair]) for k in per_pair[0]
+    }

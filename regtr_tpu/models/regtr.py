@@ -94,6 +94,8 @@ class RegTR(nn.Module):
         levels = build_pyramid(
             points, mask, self.spec,
             chunk=int(cfg.get("neighbor_chunk", 1024)),
+            method=cfg.get("neighbor_method", "grid"),
+            cell_cap=int(cfg.get("cell_capacity", 32)),
         )
         coarse = levels[-1]
 

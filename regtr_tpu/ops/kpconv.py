@@ -59,8 +59,15 @@ def kpconv(
     ).reshape(b, nq, k, cin)
 
     rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
-    diff = rel[:, :, :, None, :] - kernel_pts[None, None, None]  # (B,Nq,K,P,3)
-    sq_d = jnp.sum(diff * diff, axis=-1)                        # (B,Nq,K,P)
+    # ||rel - kp||^2 via the matmul expansion: avoids materializing the
+    # (B,Nq,K,P,3) difference tensor (HBM bandwidth) and runs on the MXU.
+    rel_sq = jnp.sum(rel * rel, axis=-1)                       # (B,Nq,K)
+    dots = jnp.einsum(
+        "bqkc,pc->bqkp", rel, kernel_pts,
+        preferred_element_type=jnp.float32,
+    )
+    kp_sq = jnp.sum(kernel_pts * kernel_pts, axis=-1)          # (P,)
+    sq_d = jnp.maximum(rel_sq[..., None] - 2.0 * dots + kp_sq, 0.0)
 
     if influence == "linear":
         infl = jnp.maximum(1.0 - jnp.sqrt(sq_d) / kp_extent, 0.0)

@@ -109,7 +109,8 @@ class PyramidLevel:
     upsamples: Optional[jnp.ndarray] = None  # (B, N_l, K_l); shadow = N_{l+1}
 
 
-def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024
+def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
+                  method: str = "grid", cell_cap: int = 32,
                   ) -> List[PyramidLevel]:
     """Compute the full multi-level preprocessing pyramid on device.
 
@@ -128,7 +129,8 @@ def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024
         r = spec.radii[li]
         k = spec.neighbor_ks[li]
         neigh = radius_neighbors_batch(
-            cur_pts, cur_mask, cur_pts, cur_mask, r, k, chunk=chunk
+            cur_pts, cur_mask, cur_pts, cur_mask, r, k, chunk=chunk,
+            method=method, cell_cap=cell_cap,
         )
         level = PyramidLevel(points=cur_pts, mask=cur_mask, neighbors=neigh)
 
@@ -138,10 +140,12 @@ def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024
                 cur_pts, cur_mask, dl, spec.capacities[li + 1]
             )
             level.pools = radius_neighbors_batch(
-                nxt_pts, nxt_mask, cur_pts, cur_mask, r, k, chunk=chunk
+                nxt_pts, nxt_mask, cur_pts, cur_mask, r, k, chunk=chunk,
+                method=method, cell_cap=cell_cap,
             )
             level.upsamples = radius_neighbors_batch(
-                cur_pts, cur_mask, nxt_pts, nxt_mask, 2.0 * r, k, chunk=chunk
+                cur_pts, cur_mask, nxt_pts, nxt_mask, 2.0 * r, k, chunk=chunk,
+                method=method, cell_cap=cell_cap,
             )
             cur_pts, cur_mask = nxt_pts, nxt_mask
 

@@ -170,3 +170,67 @@ class TestPyramid:
         pts = jnp.asarray(np.stack([make_cloud(rng, 128) for _ in range(2)]))
         out = run(pts, jnp.ones((2, 128), bool))
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestGridNeighbors:
+    """The grid-bucket fast path must agree with the streaming-scan oracle."""
+
+    @pytest.mark.parametrize("nq,ns,k", [(200, 200, 12), (128, 400, 24)])
+    def test_matches_scan(self, nq, ns, k):
+        from regtr_tpu.ops.neighbors import grid_radius_neighbors
+
+        rng = np.random.RandomState(7)
+        q = make_cloud(rng, nq)
+        s = make_cloud(rng, ns)
+        radius = 0.2
+        scan = np.asarray(radius_neighbors(
+            jnp.asarray(q), jnp.ones(nq, bool),
+            jnp.asarray(s), jnp.ones(ns, bool), radius, k=k,
+        ))
+        grid = np.asarray(grid_radius_neighbors(
+            jnp.asarray(q), jnp.ones(nq, bool),
+            jnp.asarray(s), jnp.ones(ns, bool),
+            jnp.float32(radius), k=k, cell_cap=64,
+        ))
+        for i in range(nq):
+            assert set(grid[i][grid[i] < ns].tolist()) == \
+                set(scan[i][scan[i] < ns].tolist()), f"row {i}"
+
+    def test_masked_and_real_scan(self):
+        """Real 3DMatch scan fragment: grid must match scan with masking."""
+        from regtr_tpu.ops.neighbors import grid_radius_neighbors
+        import torch
+
+        cloud = np.asarray(torch.load(
+            "/root/reference/data/indoor/test/7-scenes-redkitchen/cloud_bin_0.pth",
+            weights_only=False), np.float32)[:1500]
+        n = 1600
+        pts = np.zeros((n, 3), np.float32)
+        pts[:1500] = cloud
+        mask = np.zeros(n, bool)
+        mask[:1500] = True
+        radius, k = 0.0625, 40
+        scan = np.asarray(radius_neighbors(
+            jnp.asarray(pts), jnp.asarray(mask),
+            jnp.asarray(pts), jnp.asarray(mask), radius, k=k,
+        ))
+        grid = np.asarray(grid_radius_neighbors(
+            jnp.asarray(pts), jnp.asarray(mask),
+            jnp.asarray(pts), jnp.asarray(mask),
+            jnp.float32(radius), k=k, cell_cap=64,
+        ))
+        mismatch = 0
+        for i in range(n):
+            gs = set(grid[i][grid[i] < n].tolist())
+            ss = set(scan[i][scan[i] < n].tolist())
+            if gs == ss:
+                continue
+            # Distance ties at the K-th-neighbor boundary may resolve to
+            # either candidate; allow the difference iff all disagreeing
+            # points sit at (numerically) the same distance.
+            diff = gs ^ ss
+            dists = [np.linalg.norm(pts[i] - pts[j]) for j in diff]
+            if len(gs) == len(ss) and np.ptp(dists) < 1e-5:
+                continue
+            mismatch += 1
+        assert mismatch == 0, f"{mismatch} rows disagree"
