@@ -25,6 +25,9 @@ import numpy as np
 os.environ.setdefault("JAX_PLATFORMS", "axon")
 if "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+# Persistent compilation cache: the remote-TPU compile of the full graph is
+# minutes; cache it across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def log(*args):

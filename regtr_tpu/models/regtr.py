@@ -94,7 +94,7 @@ class RegTR(nn.Module):
         levels = build_pyramid(
             points, mask, self.spec,
             chunk=int(cfg.get("neighbor_chunk", 1024)),
-            method=cfg.get("neighbor_method", "grid"),
+            method=cfg.get("neighbor_method", "brute"),
             cell_cap=int(cfg.get("cell_capacity", 32)),
         )
         coarse = levels[-1]

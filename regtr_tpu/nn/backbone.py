@@ -10,8 +10,11 @@ from typing import Any, List, Tuple
 
 import flax.linen as nn
 
+import jax.numpy as jnp
+
 from .blocks import ResnetBottleneckBlock, SimpleBlock, UnaryBlock
-from ..ops.kpconv import closest_pool, max_pool
+from ..ops.kpconv import closest_pool, kpconv_geometry, max_pool
+from ..utils.kernel_points import load_kernel_points
 
 
 def encoder_plan(cfg) -> Tuple[list, list, list]:
@@ -53,6 +56,37 @@ def encoder_out_dim(cfg) -> int:
     return skip_dims[-1]
 
 
+def compute_block_geometries(cfg, levels):
+    """Per-level KPConv neighborhood geometry, computed once and shared by
+    every conv block at that level (the coordinate gathers + influence math
+    depend only on the pyramid, not on features/weights)."""
+    plan, _, _ = encoder_plan(cfg)
+    p = cfg["num_kernel_points"]
+    fixed = cfg.get("fixed_kernel_points", "center")
+    seed = cfg.get("kernel_seed", 0)
+    geoms = {}
+    for (name, _in, _out, r, li) in plan:
+        if "simple" not in name and "resnetb" not in name:
+            continue
+        strided = "strided" in name
+        key = ("pool" if strided else "conv", li)
+        if key in geoms:
+            continue
+        lvl = levels[li]
+        extent = r * cfg["KP_extent"] / cfg["conv_radius"]
+        kp = jnp.asarray(load_kernel_points(r, p, 3, fixed, seed))
+        if strided:
+            q_pts, idx = levels[li + 1].points, lvl.pools
+        else:
+            q_pts, idx = lvl.points, lvl.neighbors
+        geoms[key] = kpconv_geometry(
+            q_pts, lvl.points, idx, kp, extent,
+            influence=cfg.get("KP_influence", "linear"),
+            aggregation=cfg.get("aggregation_mode", "sum"),
+        )
+    return geoms
+
+
 class KPFEncoder(nn.Module):
     """Stacks Simple/Resnet blocks; returns final features + skip features."""
     cfg: Any
@@ -60,16 +94,17 @@ class KPFEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, levels):
         plan, skips, _ = encoder_plan(self.cfg)
+        geoms = compute_block_geometries(self.cfg, levels)
         skip_x: List = []
         for i, (name, in_dim, out_dim, r, li) in enumerate(plan):
             if i in skips:
                 skip_x.append(x)
             if "simple" in name:
                 x = SimpleBlock(name, in_dim, out_dim, r, li, self.cfg,
-                                name=f"block_{i}_{name}")(x, levels)
+                                name=f"block_{i}_{name}")(x, levels, geoms)
             elif "resnetb" in name:
                 x = ResnetBottleneckBlock(name, in_dim, out_dim, r, li, self.cfg,
-                                          name=f"block_{i}_{name}")(x, levels)
+                                          name=f"block_{i}_{name}")(x, levels, geoms)
             elif name == "unary":
                 x = UnaryBlock(out_dim, self.cfg.get("use_batch_norm", True),
                                name=f"block_{i}_{name}")(x, levels[li].mask)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.masking import masked_instance_norm
-from ..ops.kpconv import kpconv, max_pool
+from ..ops.kpconv import kpconv, kpconv_apply, max_pool
 from ..utils.kernel_points import load_kernel_points
 
 LEAKY_SLOPE = 0.1
@@ -72,7 +72,7 @@ class KPConvLayer(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighb_inds, x):
+    def __call__(self, q_pts, s_pts, neighb_inds, x, geom=None):
         p = self.num_kernel_points
         # torch kaiming_uniform(a=sqrt(5)) on (P, Cin, Cout) gives
         # U(+-1/sqrt(Cin*Cout)); we use fan_in = P*Cin which is the
@@ -85,6 +85,12 @@ class KPConvLayer(nn.Module):
             ) - bound,
             (p, self.in_dim, self.out_dim),
         )
+        if geom is not None:
+            infl, inv_n = geom
+            return kpconv_apply(
+                infl, inv_n, neighb_inds, x, weights,
+                compute_dtype=self.compute_dtype,
+            )
         kp = jnp.asarray(
             load_kernel_points(self.radius, p, 3, self.fixed, self.kernel_seed)
         )
@@ -108,7 +114,7 @@ class SimpleBlock(nn.Module):
     cfg: Any
 
     @nn.compact
-    def __call__(self, x, levels):
+    def __call__(self, x, levels, geoms=None):
         cfg = self.cfg
         extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
         strided = "strided" in self.block_name
@@ -118,6 +124,9 @@ class SimpleBlock(nn.Module):
             q_pts, neigh, out_mask = q_lvl.points, lvl.pools, q_lvl.mask
         else:
             q_pts, neigh, out_mask = lvl.points, lvl.neighbors, lvl.mask
+        geom = None if geoms is None else geoms.get(
+            ("pool" if strided else "conv", self.layer_ind)
+        )
         out = KPConvLayer(
             cfg["num_kernel_points"], self.in_dim, self.out_dim // 2,
             extent, self.radius,
@@ -126,7 +135,7 @@ class SimpleBlock(nn.Module):
             fixed=cfg.get("fixed_kernel_points", "center"),
             kernel_seed=cfg.get("kernel_seed", 0),
             name="kpconv",
-        )(q_pts, lvl.points, neigh, x)
+        )(q_pts, lvl.points, neigh, x, geom=geom)
         out = NormBlock(self.out_dim // 2, cfg.get("use_batch_norm", True),
                         name="norm")(out, out_mask)
         return leaky_relu(out)
@@ -144,7 +153,7 @@ class ResnetBottleneckBlock(nn.Module):
     cfg: Any
 
     @nn.compact
-    def __call__(self, x, levels):
+    def __call__(self, x, levels, geoms=None):
         cfg = self.cfg
         use_bn = cfg.get("use_batch_norm", True)
         extent = self.radius * cfg["KP_extent"] / cfg["conv_radius"]
@@ -156,6 +165,9 @@ class ResnetBottleneckBlock(nn.Module):
             q_pts, neigh, out_mask = q_lvl.points, lvl.pools, q_lvl.mask
         else:
             q_pts, neigh, out_mask = lvl.points, lvl.neighbors, lvl.mask
+        geom = None if geoms is None else geoms.get(
+            ("pool" if strided else "conv", self.layer_ind)
+        )
 
         mid = self.out_dim // 4
         if self.in_dim != mid:
@@ -169,7 +181,7 @@ class ResnetBottleneckBlock(nn.Module):
             fixed=cfg.get("fixed_kernel_points", "center"),
             kernel_seed=cfg.get("kernel_seed", 0),
             name="kpconv",
-        )(q_pts, lvl.points, neigh, h)
+        )(q_pts, lvl.points, neigh, h, geom=geom)
         h = NormBlock(mid, use_bn, name="norm_conv")(h, out_mask)
         h = leaky_relu(h)
         h = UnaryBlock(self.out_dim, use_bn, no_relu=True, name="unary2")(

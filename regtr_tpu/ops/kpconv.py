@@ -27,36 +27,35 @@ import jax.numpy as jnp
 SHADOW_COORD = 1e6
 
 
-def kpconv(
+def kpconv_geometry(
     q_pts,        # (B, Nq, 3)
     s_pts,        # (B, Ns, 3)
     neighb_inds,  # (B, Nq, K) int32, shadow = Ns
-    x,            # (B, Ns, Cin)
     kernel_pts,   # (P, 3)
-    weights,      # (P, Cin, Cout)
     kp_extent: float,
     influence: str = "linear",
     aggregation: str = "sum",
-    compute_dtype=None,
 ):
-    """Batched KPConv. Returns (B, Nq, Cout)."""
-    b, ns, cin = x.shape
+    """Neighborhood geometry shared by every KPConv block at a level.
+
+    The influence tensor depends only on (points, neighbor table, kernel
+    disposition) — not on features or weights — so blocks operating on the
+    same pyramid level reuse one geometry instead of re-gathering coordinates
+    (gathers are the dominant cost on TPU).
+
+    Returns (infl (B, Nq, K, P), inv_n_valid (B, Nq)).
+    """
+    b, ns, _ = s_pts.shape
     _, nq, k = neighb_inds.shape
     p = kernel_pts.shape[0]
 
-    # Pad row for shadow neighbors: far-away coords, zero features.
     s_pts_pad = jnp.concatenate(
         [s_pts, jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)], axis=1
     )
-    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
-
     flat_inds = neighb_inds.reshape(b, nq * k)
     neighbors = jnp.take_along_axis(
         s_pts_pad, flat_inds[..., None], axis=1
     ).reshape(b, nq, k, 3)
-    neighb_x = jnp.take_along_axis(
-        x_pad, flat_inds[..., None], axis=1
-    ).reshape(b, nq, k, cin)
 
     rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
     # ||rel - kp||^2 via the matmul expansion: avoids materializing the
@@ -85,6 +84,30 @@ def kpconv(
     elif aggregation != "sum":
         raise ValueError(f"unknown aggregation {aggregation}")
 
+    n_valid = jnp.sum(neighb_inds < ns, axis=-1)                # (B,Nq)
+    inv_n_valid = 1.0 / jnp.maximum(n_valid, 1).astype(jnp.float32)
+    return infl, inv_n_valid
+
+
+def kpconv_apply(
+    infl,         # (B, Nq, K, P) from kpconv_geometry
+    inv_n_valid,  # (B, Nq)
+    neighb_inds,  # (B, Nq, K)
+    x,            # (B, Ns, Cin)
+    weights,      # (P, Cin, Cout)
+    compute_dtype=None,
+):
+    """Feature path of KPConv given precomputed geometry."""
+    b, ns, cin = x.shape
+    _, nq, k = neighb_inds.shape
+    p = infl.shape[-1]
+
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
+    flat_inds = neighb_inds.reshape(b, nq * k)
+    neighb_x = jnp.take_along_axis(
+        x_pad, flat_inds[..., None], axis=1
+    ).reshape(b, nq, k, cin)
+
     if compute_dtype is not None:
         infl = infl.astype(compute_dtype)
         neighb_x = neighb_x.astype(compute_dtype)
@@ -101,10 +124,22 @@ def kpconv(
         weights.reshape(p * cin, -1),
         preferred_element_type=jnp.float32,
     )
+    return out * inv_n_valid[..., None].astype(out.dtype)
 
-    n_valid = jnp.sum(neighb_inds < ns, axis=-1)                # (B,Nq)
-    n_valid = jnp.maximum(n_valid, 1).astype(out.dtype)
-    return out / n_valid[..., None]
+
+def kpconv(
+    q_pts, s_pts, neighb_inds, x, kernel_pts, weights,
+    kp_extent: float, influence: str = "linear", aggregation: str = "sum",
+    compute_dtype=None,
+):
+    """Batched KPConv (geometry + apply in one call). (B, Nq, Cout)."""
+    infl, inv_n = kpconv_geometry(
+        q_pts, s_pts, neighb_inds, kernel_pts, kp_extent,
+        influence, aggregation,
+    )
+    return kpconv_apply(
+        infl, inv_n, neighb_inds, x, weights, compute_dtype
+    )
 
 
 def max_pool(x, pool_inds):

@@ -110,7 +110,7 @@ class PyramidLevel:
 
 
 def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
-                  method: str = "grid", cell_cap: int = 32,
+                  method: str = "brute", cell_cap: int = 32,
                   ) -> List[PyramidLevel]:
     """Compute the full multi-level preprocessing pyramid on device.
 

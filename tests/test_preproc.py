@@ -234,3 +234,50 @@ class TestGridNeighbors:
                 continue
             mismatch += 1
         assert mismatch == 0, f"{mismatch} rows disagree"
+
+
+class TestBruteNeighbors:
+    """Brute+approx fast path: all results in-radius; >=95% recall vs oracle."""
+
+    def test_contract_and_recall(self):
+        from regtr_tpu.ops.neighbors import brute_radius_neighbors
+
+        rng = np.random.RandomState(11)
+        n = 2048
+        pts = make_cloud(rng, n)
+        mask = np.ones(n, bool)
+        mask[2000:] = False
+        radius, k = 0.1, 24
+        got = np.asarray(brute_radius_neighbors(
+            jnp.asarray(pts), jnp.asarray(mask),
+            jnp.asarray(pts), jnp.asarray(mask),
+            jnp.float32(radius), k=k, query_chunk=512,
+        ))
+        ref = np.asarray(radius_neighbors(
+            jnp.asarray(pts), jnp.asarray(mask),
+            jnp.asarray(pts), jnp.asarray(mask), radius, k=k,
+        ))
+        total_ref = total_hit = 0
+        for i in range(n):
+            gset = set(got[i][got[i] < n].tolist())
+            rset = set(ref[i][ref[i] < n].tolist())
+            # contract: every returned neighbor is valid and within radius
+            for j in gset:
+                assert mask[j]
+                assert np.linalg.norm(pts[i] - pts[j]) <= radius + 1e-5
+            total_ref += len(rset)
+            total_hit += len(gset & rset)
+        assert total_hit / max(total_ref, 1) > 0.95, total_hit / total_ref
+
+    def test_invalid_query_all_shadow(self):
+        from regtr_tpu.ops.neighbors import brute_radius_neighbors
+
+        rng = np.random.RandomState(12)
+        pts = make_cloud(rng, 64)
+        qm = np.zeros(64, bool)
+        got = np.asarray(brute_radius_neighbors(
+            jnp.asarray(pts), jnp.asarray(qm),
+            jnp.asarray(pts), jnp.ones(64, bool),
+            jnp.float32(0.5), k=8,
+        ))
+        assert np.all(got == 64)
