@@ -57,6 +57,7 @@ def main():
 
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n0 = int(sys.argv[2]) if len(sys.argv) > 2 else 20480
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
 
     src, tgt = load_pair()
     log(f"real scans: src {src.shape}, tgt {tgt.shape}; bucket {n0}, "
@@ -75,7 +76,7 @@ def main():
     pts = np.stack([ps, pt] * n_pairs)
     mask = np.stack([ms, mt] * n_pairs)
 
-    cfg = threedmatch_config()
+    cfg = threedmatch_config(compute_dtype=dtype)
     model = create_model(cfg, n0)
     log(f"pyramid caps: {model.spec.capacities} ks: {model.spec.neighbor_ks}")
 

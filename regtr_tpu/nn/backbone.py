@@ -79,11 +79,16 @@ def compute_block_geometries(cfg, levels):
             q_pts, idx = levels[li + 1].points, lvl.pools
         else:
             q_pts, idx = lvl.points, lvl.neighbors
-        geoms[key] = kpconv_geometry(
+        infl, inv_n = kpconv_geometry(
             q_pts, lvl.points, idx, kp, extent,
             influence=cfg.get("KP_influence", "linear"),
             aggregation=cfg.get("aggregation_mode", "sum"),
         )
+        if cfg.get("compute_dtype") == "bfloat16":
+            # Halves the HBM traffic of the (B, N, K, P) influence tensor;
+            # influence values live in [0, 1] so bf16 is plenty.
+            infl = infl.astype(jnp.bfloat16)
+        geoms[key] = (infl, inv_n)
     return geoms
 
 

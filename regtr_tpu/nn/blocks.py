@@ -22,6 +22,10 @@ from ..core.masking import masked_instance_norm
 from ..ops.kpconv import kpconv, kpconv_apply, max_pool
 from ..utils.kernel_points import load_kernel_points
 
+
+def _compute_dtype(cfg):
+    return jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
+
 LEAKY_SLOPE = 0.1
 
 
@@ -134,6 +138,7 @@ class SimpleBlock(nn.Module):
             aggregation=cfg.get("aggregation_mode", "sum"),
             fixed=cfg.get("fixed_kernel_points", "center"),
             kernel_seed=cfg.get("kernel_seed", 0),
+            compute_dtype=_compute_dtype(cfg),
             name="kpconv",
         )(q_pts, lvl.points, neigh, x, geom=geom)
         out = NormBlock(self.out_dim // 2, cfg.get("use_batch_norm", True),
@@ -180,6 +185,7 @@ class ResnetBottleneckBlock(nn.Module):
             aggregation=cfg.get("aggregation_mode", "sum"),
             fixed=cfg.get("fixed_kernel_points", "center"),
             kernel_seed=cfg.get("kernel_seed", 0),
+            compute_dtype=_compute_dtype(cfg),
             name="kpconv",
         )(q_pts, lvl.points, neigh, h, geom=geom)
         h = NormBlock(mid, use_bn, name="norm_conv")(h, out_mask)

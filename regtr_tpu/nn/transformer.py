@@ -56,6 +56,9 @@ class MultiHeadAttention(nn.Module):
             key_mask[:, None, None, :], logits, jnp.asarray(NEG_INF, logits.dtype)
         )
         attn = nn.softmax(logits, axis=-1)
+        # Analysis hook (reference: get_attentions, transformers.py:61-81):
+        # fetch with apply(..., mutable=["intermediates"]).
+        self.sow("intermediates", "attn", attn)
         if self.dropout > 0.0 and not deterministic:
             attn = nn.Dropout(self.dropout)(attn, deterministic=False)
         out = jnp.einsum(

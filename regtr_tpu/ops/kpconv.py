@@ -27,6 +27,22 @@ import jax.numpy as jnp
 SHADOW_COORD = 1e6
 
 
+def batched_row_gather(x, inds):
+    """Gather rows per batch element via ONE flat 1-D gather.
+
+    x: (B, N, C); inds: (B, R) int32 in [0, N) -> (B, R, C).
+
+    XLA lowers a flat `take` ~4x faster than batched take_along_axis on TPU
+    (the batched gather hits a slow per-row path), so every gather in the
+    framework funnels through this helper.
+    """
+    b, n, c = x.shape
+    flat = x.reshape(b * n, c)
+    offs = (jnp.arange(b, dtype=inds.dtype) * n)[:, None]
+    out = jnp.take(flat, (inds + offs).reshape(-1), axis=0)
+    return out.reshape(b, inds.shape[1], c)
+
+
 def kpconv_geometry(
     q_pts,        # (B, Nq, 3)
     s_pts,        # (B, Ns, 3)
@@ -53,9 +69,7 @@ def kpconv_geometry(
         [s_pts, jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)], axis=1
     )
     flat_inds = neighb_inds.reshape(b, nq * k)
-    neighbors = jnp.take_along_axis(
-        s_pts_pad, flat_inds[..., None], axis=1
-    ).reshape(b, nq, k, 3)
+    neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
 
     rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
     # ||rel - kp||^2 via the matmul expansion: avoids materializing the
@@ -102,11 +116,29 @@ def kpconv_apply(
     _, nq, k = neighb_inds.shape
     p = infl.shape[-1]
 
+    if cin == 1:
+        # First-block fast path: input features are a constant 1 per valid
+        # point (regtr.py:122), so the neighbor gather + contraction reduce
+        # to a masked sum of influences — no gather at all.
+        valid = (neighb_inds < ns).astype(infl.dtype)
+        weighted = jnp.einsum(
+            "bqkp,bqk->bqp", infl, valid,
+            preferred_element_type=jnp.float32,
+        )[..., None]                                        # (B,Nq,P,1)
+        if compute_dtype is not None:
+            weighted = weighted.astype(compute_dtype)
+            weights = weights.astype(compute_dtype)
+        out = jnp.einsum(
+            "bqz,zo->bqo",
+            weighted.reshape(b, nq, p * cin),
+            weights.reshape(p * cin, -1),
+            preferred_element_type=jnp.float32,
+        )
+        return out * inv_n_valid[..., None].astype(out.dtype)
+
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
     flat_inds = neighb_inds.reshape(b, nq * k)
-    neighb_x = jnp.take_along_axis(
-        x_pad, flat_inds[..., None], axis=1
-    ).reshape(b, nq, k, cin)
+    neighb_x = batched_row_gather(x_pad, flat_inds).reshape(b, nq, k, cin)
 
     if compute_dtype is not None:
         infl = infl.astype(compute_dtype)
@@ -155,7 +187,7 @@ def max_pool(x, pool_inds):
     _, nq, k = pool_inds.shape
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
     flat = pool_inds.reshape(b, nq * k)
-    gathered = jnp.take_along_axis(x_pad, flat[..., None], axis=1)
+    gathered = batched_row_gather(x_pad, flat)
     return jnp.max(gathered.reshape(b, nq, k, c), axis=2)
 
 
@@ -168,8 +200,7 @@ def closest_pool(x, inds):
     """
     b, ns, c = x.shape
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)
-    first = inds[:, :, 0]
-    return jnp.take_along_axis(x_pad, first[..., None], axis=1)
+    return batched_row_gather(x_pad, inds[:, :, 0])
 
 
 def global_average(x, mask):

@@ -253,10 +253,15 @@ def brute_radius_neighbors(
             neg, idx = jax.lax.top_k(-d, k_eff)
             vals = -neg
         else:
+            # fp32 distances (the |q|^2 - 2qs + |s|^2 cancellation needs it),
+            # but the partial reduction itself runs on bf16: in-radius values
+            # are tiny (<= r^2) where bf16's 0.4% relative error only
+            # perturbs the effective radius imperceptibly.
             vals, idx = jax.lax.approx_min_k(
-                d, k_eff, recall_target=recall_target
+                d.astype(jnp.bfloat16), k_eff, recall_target=recall_target
             )
-        ok = (vals <= r_sq) & qm[:, None]
+            vals = vals.astype(jnp.float32)
+        ok = (vals <= r_sq * 1.004) & qm[:, None]
         out = jnp.where(ok, idx, ns).astype(jnp.int32)
         if k_eff < k:
             out = jnp.pad(out, ((0, 0), (0, k - k_eff)), constant_values=ns)

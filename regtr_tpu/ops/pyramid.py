@@ -175,8 +175,10 @@ def compute_overlap_pyramid(overlap0, levels: List[PyramidLevel]):
         valid = pools < n_cur
         safe_idx = jnp.where(valid, pools, 0)
         b, n_next, k = pools.shape
-        gathered = jnp.take_along_axis(
-            cur, safe_idx.reshape(b, n_next * k), axis=1
+        from .kpconv import batched_row_gather
+
+        gathered = batched_row_gather(
+            cur[..., None], safe_idx.reshape(b, n_next * k)
         ).reshape(b, n_next, k)
         gathered = jnp.where(valid, gathered, 0.0)
         denom = jnp.maximum(jnp.sum(valid, axis=-1), 1)
