@@ -351,3 +351,37 @@ def get_transforms(noise_type: str, rot_mag=45.0, trans_mag=0.5,
     else:
         raise ValueError(f"unknown noise_type {noise_type!r}")
     return ComposeMN(train), ComposeMN(test)
+
+
+class Dict2DcpList:
+    """Adapter: sample dict -> Deep Closest Point tuple
+    (modelnet_transforms.py:408-426 parity)."""
+
+    def __call__(self, sample, rng=None):
+        from scipy.spatial.transform import Rotation
+
+        target = sample["points_src"][:, :3].T.copy()
+        src = sample["points_ref"][:, :3].T.copy()
+        rotation_ab = sample["transform_gt"][:3, :3].T.copy()
+        translation_ab = -rotation_ab @ sample["transform_gt"][:3, 3].copy()
+        rotation_ba = sample["transform_gt"][:3, :3].copy()
+        translation_ba = sample["transform_gt"][:3, 3].copy()
+        euler_ab = Rotation.from_matrix(rotation_ab).as_euler("zyx").copy()
+        euler_ba = Rotation.from_matrix(rotation_ba).as_euler("xyz").copy()
+        return (src, target, rotation_ab, translation_ab,
+                rotation_ba, translation_ba, euler_ab, euler_ba)
+
+
+class Dict2PointnetLKList:
+    """Adapter: sample dict -> PointNetLK tuple
+    (modelnet_transforms.py:429-440 parity)."""
+
+    def __call__(self, sample, rng=None):
+        if "points" in sample:
+            return sample["points"][:, :3], sample["label"]
+        gt_4x4 = np.concatenate(
+            [sample["transform_gt"],
+             np.array([[0.0, 0.0, 0.0, 1.0]], np.float32)], axis=0
+        )
+        return (sample["points_src"][:, :3], sample["points_ref"][:, :3],
+                gt_4x4)
