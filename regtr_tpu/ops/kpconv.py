@@ -27,6 +27,7 @@ import jax.numpy as jnp
 SHADOW_COORD = 1e6
 
 
+@jax.custom_vjp
 def batched_row_gather(x, inds):
     """Gather rows per batch element via ONE flat 1-D gather.
 
@@ -35,12 +36,37 @@ def batched_row_gather(x, inds):
     XLA lowers a flat `take` ~4x faster than batched take_along_axis on TPU
     (the batched gather hits a slow per-row path), so every gather in the
     framework funnels through this helper.
+
+    Custom VJP: autodiff's gather-transpose is a serialized scatter-add
+    (~140 ns/row — it made the 3DMatch-scale train step 15 s); the backward
+    here uses jax.ops.segment_sum instead, which lowers ~10x faster.
     """
+    return _row_gather_fwd_impl(x, inds)
+
+
+def _row_gather_fwd_impl(x, inds):
     b, n, c = x.shape
     flat = x.reshape(b * n, c)
     offs = (jnp.arange(b, dtype=inds.dtype) * n)[:, None]
     out = jnp.take(flat, (inds + offs).reshape(-1), axis=0)
     return out.reshape(b, inds.shape[1], c)
+
+
+def _row_gather_fwd(x, inds):
+    return _row_gather_fwd_impl(x, inds), (inds, x.shape)
+
+
+def _row_gather_bwd(res, g):
+    inds, (b, n, c) = res
+    offs = (jnp.arange(b, dtype=inds.dtype) * n)[:, None]
+    flat_idx = (inds + offs).reshape(-1)
+    dx = jax.ops.segment_sum(
+        g.reshape(-1, g.shape[-1]), flat_idx, num_segments=b * n
+    )
+    return dx.reshape(b, n, c).astype(g.dtype), None
+
+
+batched_row_gather.defvjp(_row_gather_fwd, _row_gather_bwd)
 
 
 def kpconv_geometry(

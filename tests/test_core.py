@@ -143,3 +143,26 @@ class TestMasking:
         out = float(masking.masked_logsumexp(logits, mask)[0])
         ref = np.log(np.exp(1.0) + np.exp(2.0))
         np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+class TestRowGatherVJP:
+    def test_custom_bwd_matches_autodiff(self):
+        """segment_sum backward == the mathematical gather transpose."""
+        from regtr_tpu.ops.kpconv import batched_row_gather, _row_gather_fwd_impl
+
+        rng = np.random.RandomState(20)
+        x = jnp.asarray(rng.randn(3, 16, 5).astype(np.float32))
+        inds = jnp.asarray(rng.randint(0, 16, (3, 20)).astype(np.int32))
+        g = jnp.asarray(rng.randn(3, 20, 5).astype(np.float32))
+
+        def loss_custom(x):
+            return jnp.sum(batched_row_gather(x, inds) * g)
+
+        def loss_plain(x):
+            return jnp.sum(_row_gather_fwd_impl(x, inds) * g)
+
+        d_custom = jax.grad(loss_custom)(x)
+        d_plain = jax.grad(loss_plain)(x)
+        np.testing.assert_allclose(
+            np.asarray(d_custom), np.asarray(d_plain), rtol=1e-5, atol=1e-6
+        )
