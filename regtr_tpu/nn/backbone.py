@@ -100,16 +100,23 @@ class KPFEncoder(nn.Module):
     def __call__(self, x, levels):
         plan, skips, _ = encoder_plan(self.cfg)
         geoms = compute_block_geometries(self.cfg, levels)
+        # Rematerialize each block under grad: per-block residuals (gathered
+        # neighbor features etc.) at 3DMatch scale otherwise push XLA temp
+        # memory to ~11 GB and the schedule collapses.
+        remat = self.cfg.get("remat", True)
+        simple_cls = nn.remat(SimpleBlock) if remat else SimpleBlock
+        resnet_cls = (nn.remat(ResnetBottleneckBlock) if remat
+                      else ResnetBottleneckBlock)
         skip_x: List = []
         for i, (name, in_dim, out_dim, r, li) in enumerate(plan):
             if i in skips:
                 skip_x.append(x)
             if "simple" in name:
-                x = SimpleBlock(name, in_dim, out_dim, r, li, self.cfg,
-                                name=f"block_{i}_{name}")(x, levels, geoms)
+                x = simple_cls(name, in_dim, out_dim, r, li, self.cfg,
+                               name=f"block_{i}_{name}")(x, levels, geoms)
             elif "resnetb" in name:
-                x = ResnetBottleneckBlock(name, in_dim, out_dim, r, li, self.cfg,
-                                          name=f"block_{i}_{name}")(x, levels, geoms)
+                x = resnet_cls(name, in_dim, out_dim, r, li, self.cfg,
+                               name=f"block_{i}_{name}")(x, levels, geoms)
             elif name == "unary":
                 x = UnaryBlock(out_dim, self.cfg.get("use_batch_norm", True),
                                name=f"block_{i}_{name}")(x, levels[li].mask)

@@ -150,12 +150,18 @@ class TransformerCrossEncoder(nn.Module):
     sa_val_has_pos_emb: bool = True
     ca_val_has_pos_emb: bool = True
 
+    remat: bool = True
+
     @nn.compact
     def __call__(self, x, pos, mask, deterministic=True):
         final_norm = nn.LayerNorm(name="norm_final") if self.pre_norm else None
+        # Recompute attention in the backward pass instead of storing the
+        # (B, H, N, N) probability tensors for every layer.
+        layer_cls = (nn.remat(CrossEncoderLayer, static_argnums=(3,))
+                     if self.remat else CrossEncoderLayer)
         intermediates = []
         for i in range(self.num_layers):
-            x = CrossEncoderLayer(
+            x = layer_cls(
                 self.d_model, self.nhead, self.d_feedforward, self.dropout,
                 self.activation, self.pre_norm,
                 self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,

@@ -43,9 +43,17 @@ def make_train_step(model, mesh=None, donate: bool = True):
 
     batch: {'points' (2B,N,3), 'mask' (2B,N), 'pose' (B,3,4),
             'overlap0' (2B,N)} — pairs interleaved.
+
+    Implementation note: this is TWO jitted programs (grads+metrics, then
+    optimizer update) rather than one.  Fusing everything into a single XLA
+    program that outputs {new state, losses, registration metrics,
+    grad_norm} triggers a pathological schedule at 3DMatch scale on v5e
+    (~32 s/step vs ~0.65 s split — measured; any strict subset of those
+    outputs is fast).  The split costs one extra dispatch and keeps the
+    gradients materialized between the two programs, which is negligible.
     """
 
-    def step(state: TrainState, batch: Dict[str, Any]):
+    def grads_fn(params, batch: Dict[str, Any]):
         def loss_fn(params):
             losses, out = model.apply(
                 {"params": params},
@@ -55,29 +63,45 @@ def make_train_step(model, mesh=None, donate: bool = True):
             )
             return losses["total"], (losses, out["pose"])
 
-        grads, (losses, pose_pred) = jax.grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        new_state = state.apply_gradients(grads=grads)
+        grads, (losses, pose_pred) = jax.grad(loss_fn, has_aux=True)(params)
+        return grads, losses, pose_pred
+
+    def apply_fn(state: TrainState, grads):
+        return state.apply_gradients(grads=grads)
+
+    def metrics_fn(losses, pose_pred, pose_gt, grads):
         metrics = dict(losses)
-        metrics.update(registration_metrics(pose_pred, batch["pose"], model.cfg))
+        metrics.update(registration_metrics(pose_pred, pose_gt, model.cfg))
         metrics["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
         )
-        return new_state, metrics
+        return metrics
 
-    kwargs = {}
+    g_kwargs, a_kwargs, m_kwargs = {}, {}, {}
     if donate:
-        kwargs["donate_argnums"] = (0,)
+        a_kwargs["donate_argnums"] = (0,)
     if mesh is not None:
         bs = batch_sharding(mesh)
         rep = replicated(mesh)
-        kwargs["in_shardings"] = (rep, {
+        g_kwargs["in_shardings"] = (rep, {
             "points": bs, "mask": bs,
             "pose": bs, "overlap0": bs,
         })
-        kwargs["out_shardings"] = (rep, rep)
-    return jax.jit(step, **kwargs)
+        g_kwargs["out_shardings"] = (rep, rep, rep)
+        a_kwargs["in_shardings"] = (rep, rep)
+        a_kwargs["out_shardings"] = rep
+        m_kwargs["in_shardings"] = (rep, rep, bs, rep)
+        m_kwargs["out_shardings"] = rep
+    g_jit = jax.jit(grads_fn, **g_kwargs)
+    a_jit = jax.jit(apply_fn, **a_kwargs)
+    m_jit = jax.jit(metrics_fn, **m_kwargs)
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        grads, losses, pose_pred = g_jit(state.params, batch)
+        metrics = m_jit(losses, pose_pred, batch["pose"], grads)
+        return a_jit(state, grads), metrics
+
+    return step
 
 
 def make_eval_step(model, mesh=None):
