@@ -23,6 +23,9 @@ def main(argv=None):
         "--gt_dir", type=str,
         default="/root/reference/src/datasets/3dmatch/benchmarks",
     )
+    p.add_argument("--errors_csv", type=str,
+                   help="also write per-pair transformation errors to CSV "
+                        "(the reference writes individual_errors.xlsx)")
     opt = p.parse_args(argv)
 
     gt = os.path.join(opt.gt_dir, opt.benchmark)
@@ -32,6 +35,26 @@ def main(argv=None):
         report, recall = benchmark(opt.results_dir, gt)
         print(report)
         print(f"Mean registration recall: {recall:.4f}")
+        if opt.errors_csv:
+            import csv
+
+            import numpy as np
+
+            with open(opt.errors_csv, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["scene", "src", "tgt", "error", "flag"])
+                for scene in sorted(os.listdir(gt)):
+                    from regtr_tpu.benchmark.predator import read_trajectory
+
+                    pairs, _ = read_trajectory(
+                        os.path.join(opt.results_dir, scene, "est.log"))
+                    errs = np.load(
+                        os.path.join(opt.results_dir, scene, "errors.npy"))
+                    flags = np.load(
+                        os.path.join(opt.results_dir, scene, "flag.npy"))
+                    for (i, j, _n), e, fl in zip(pairs, errs, flags):
+                        w.writerow([scene, i, j, e, fl])
+            print(f"wrote {opt.errors_csv}")
     else:
         from regtr_tpu.benchmark.dgr import benchmark_dgr
 

@@ -97,6 +97,7 @@ class RegTR(nn.Module):
             chunk=int(cfg.get("neighbor_chunk", 1024)),
             method=cfg.get("neighbor_method", "brute"),
             cell_cap=int(cfg.get("cell_capacity", 32)),
+            recall_target=float(cfg.get("neighbor_recall", 0.95)),
         )
         coarse = levels[-1]
 

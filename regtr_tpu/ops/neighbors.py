@@ -274,6 +274,7 @@ def brute_radius_neighbors(
 def radius_neighbors_batch(
     queries, q_mask, supports, s_mask, radius, k: int, chunk: int = 1024,
     method: str = "brute", cell_cap: int = 32, query_chunk: int = 4096,
+    recall_target: float = 0.95,
 ):
     """vmapped neighbor search over a leading cloud-batch axis.
 
@@ -281,7 +282,8 @@ def radius_neighbors_batch(
     'grid': grid-bucket candidate search; 'scan': streaming exact top-k
     merge (the oracle path for tests)."""
     if method == "brute":
-        fn = partial(brute_radius_neighbors, k=k, query_chunk=query_chunk)
+        fn = partial(brute_radius_neighbors, k=k, query_chunk=query_chunk,
+                     recall_target=recall_target)
     elif method == "grid":
         fn = partial(grid_radius_neighbors, k=k, cell_cap=cell_cap)
     else:

@@ -111,6 +111,7 @@ class PyramidLevel:
 
 def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
                   method: str = "brute", cell_cap: int = 32,
+                  recall_target: float = 0.95,
                   ) -> List[PyramidLevel]:
     """Compute the full multi-level preprocessing pyramid on device.
 
@@ -130,7 +131,7 @@ def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
         k = spec.neighbor_ks[li]
         neigh = radius_neighbors_batch(
             cur_pts, cur_mask, cur_pts, cur_mask, r, k, chunk=chunk,
-            method=method, cell_cap=cell_cap,
+            method=method, cell_cap=cell_cap, recall_target=recall_target,
         )
         level = PyramidLevel(points=cur_pts, mask=cur_mask, neighbors=neigh)
 
@@ -141,11 +142,11 @@ def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
             )
             level.pools = radius_neighbors_batch(
                 nxt_pts, nxt_mask, cur_pts, cur_mask, r, k, chunk=chunk,
-                method=method, cell_cap=cell_cap,
+                method=method, cell_cap=cell_cap, recall_target=recall_target,
             )
             level.upsamples = radius_neighbors_batch(
                 cur_pts, cur_mask, nxt_pts, nxt_mask, 2.0 * r, k, chunk=chunk,
-                method=method, cell_cap=cell_cap,
+                method=method, cell_cap=cell_cap, recall_target=recall_target,
             )
             cur_pts, cur_mask = nxt_pts, nxt_mask
 
