@@ -41,18 +41,34 @@ def init_model_params(model, rng, batch_pairs: int = 1):
     Parameter shapes depend only on the architecture config, not on the
     pyramid capacities, so initialization runs through a tiny-capacity clone
     of the model — flax's eager init over full-size activations would be
-    needlessly slow (especially against a remote device)."""
+    needlessly slow (especially against a remote device).  For the same
+    reason, when a CPU backend is available alongside an accelerator, the
+    init computation runs on CPU and only the resulting params move over."""
+    import contextlib
+
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     n0 = min(64, model.spec.capacities[0])
     tiny = type(model)(cfg=model.cfg, spec=make_pyramid_spec(model.cfg, n0))
     rnd = np.random.RandomState(0)
-    pts = jnp.asarray(rnd.rand(2 * batch_pairs, n0, 3).astype(np.float32))
-    mask = jnp.ones((2 * batch_pairs, n0), bool)
-    pose = jnp.broadcast_to(jnp.eye(3, 4), (batch_pairs, 3, 4))
-    ov = jnp.ones((2 * batch_pairs, n0), jnp.float32)
-    variables = tiny.init(
-        rng, pts, mask, pose, ov, method=tiny.compute_loss
-    )
+
+    default = jax.devices()[0]
+    ctx = contextlib.nullcontext()
+    if default.platform != "cpu":
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            pass
+    with ctx:
+        pts = jnp.asarray(rnd.rand(2 * batch_pairs, n0, 3).astype(np.float32))
+        mask = jnp.ones((2 * batch_pairs, n0), bool)
+        pose = jnp.broadcast_to(jnp.eye(3, 4), (batch_pairs, 3, 4))
+        ov = jnp.ones((2 * batch_pairs, n0), jnp.float32)
+        variables = tiny.init(
+            rng, pts, mask, pose, ov, method=tiny.compute_loss
+        )
+    if default.platform != "cpu":
+        variables = jax.device_put(variables, default)
     return variables

@@ -12,8 +12,8 @@ import flax.linen as nn
 
 import jax.numpy as jnp
 
-from .blocks import ResnetBottleneckBlock, SimpleBlock, UnaryBlock
-from ..ops.kpconv import closest_pool, kpconv_geometry, max_pool
+from .blocks import ResnetBottleneckBlock, SimpleBlock, UnaryBlock, UnaryBlock2
+from ..ops.kpconv import closest_pool, global_average, kpconv_geometry, max_pool
 from ..utils.kernel_points import load_kernel_points
 
 
@@ -120,8 +120,12 @@ class KPFEncoder(nn.Module):
             elif name == "unary":
                 x = UnaryBlock(out_dim, self.cfg.get("use_batch_norm", True),
                                name=f"block_{i}_{name}")(x, levels[li].mask)
+            elif name == "unary2":
+                x = UnaryBlock2(out_dim, name=f"block_{i}_{name}")(x)
             elif "max_pool" in name:
                 x = max_pool(x, levels[li].pools)
+            elif name == "global_average":
+                x = global_average(x, levels[li].mask)
             else:
                 raise ValueError(f"unsupported encoder block {name}")
         return x, skip_x

@@ -46,6 +46,16 @@ class NormBlock(nn.Module):
         return x + bias
 
 
+class UnaryBlock2(nn.Module):
+    """Plain 2-layer MLP block (reference kpconv_blocks.py:569-587)."""
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        h = nn.relu(nn.Dense(x.shape[-1], name="mlp0")(x))
+        return nn.Dense(self.out_dim, name="mlp1")(h)
+
+
 class UnaryBlock(nn.Module):
     """Linear (no bias) -> norm -> LeakyReLU(0.1)."""
     out_dim: int

@@ -102,15 +102,21 @@ class Trainer:
             for batch, _meta in train_loader:
                 state, metrics = train_step(state, self._put(batch))
                 step += 1
-                total = float(metrics["total"])
-                if not np.isfinite(total):
-                    self.logger.warning(
-                        "Non-finite loss at step %d; skipping metrics", step
-                    )
-                else:
-                    meters.update(
-                        {k: np.asarray(v) for k, v in metrics.items()}
-                    )
+                # Only sync metrics to host at summary boundaries: a per-step
+                # device->host conversion stalls the async dispatch pipeline
+                # (~3x slower on the tunneled backend).
+                if step % self.summary_every == 0 or \
+                        step % max(self.summary_every // 4, 1) == 0:
+                    total = float(metrics["total"])
+                    if not np.isfinite(total):
+                        self.logger.warning(
+                            "Non-finite loss at step %d; skipping metrics",
+                            step,
+                        )
+                    else:
+                        meters.update(
+                            {k: np.asarray(v) for k, v in metrics.items()}
+                        )
                 if step % self.summary_every == 0:
                     avgs = meters.averages()
                     rate = self.summary_every / (time.time() - t_last)
