@@ -1,0 +1,111 @@
+"""Trainer resume, gradient accumulation, and viz tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """optax.MultiSteps(k=2) over two half-batches == one full batch step."""
+    from regtr_tpu.models import create_model, init_model_params
+    from regtr_tpu.presets import tiny_config
+    from regtr_tpu.train.optim import make_optimizer
+    from regtr_tpu.train.steps import TrainState, make_train_step
+
+    rng = np.random.RandomState(0)
+    n0 = 96
+
+    def batch(n_pairs, seed):
+        r = np.random.RandomState(seed)
+        return {
+            "points": jnp.asarray(r.rand(2 * n_pairs, n0, 3).astype(np.float32) - 0.5),
+            "mask": jnp.ones((2 * n_pairs, n0), bool),
+            "pose": jnp.broadcast_to(jnp.eye(3, 4), (n_pairs, 3, 4)),
+            "overlap0": jnp.ones((2 * n_pairs, n0), jnp.float32),
+        }
+
+    cfg = tiny_config(base_lr=1e-3, scheduler="none", grad_accum_steps=2)
+    model = create_model(cfg, n0)
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx)
+    step = make_train_step(model, donate=False)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = step(state, batch(1, 1))
+    # after 1 of 2 accumulation micro-steps params must be unchanged
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, batch(1, 2))
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+
+
+def test_checkpoint_manager_best_retention(tmp_path):
+    from regtr_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck", max_to_keep=2)
+    state = {"w": jnp.arange(4.0), "step": jnp.asarray(0)}
+    mgr.save(1, {**state, "step": jnp.asarray(1)}, score=0.5)
+    mgr.save(2, {**state, "step": jnp.asarray(2)}, score=0.9)
+    mgr.save(3, {**state, "step": jnp.asarray(3)}, score=0.7)
+    assert mgr.best_record()["step"] == 2
+    restored, step = mgr.restore(state)
+    assert step == 3  # latest
+    assert int(restored["step"]) == 3
+    mgr.close()
+
+
+def test_viz_outputs(tmp_path):
+    from regtr_tpu.utils.viz import visualize_registration
+    from regtr_tpu.core import se3_np
+
+    rng = np.random.RandomState(1)
+    src = rng.rand(200, 3).astype(np.float32)
+    pose = se3_np.se3_init(se3_np.sample_uniform_rotation(rng),
+                           rng.randn(3).astype(np.float32) * 0.1)
+    tgt = se3_np.se3_transform(pose, src)
+    out = visualize_registration(
+        src, tgt, pose, tmp_path, pose_gt=pose,
+        overlap_conf=rng.rand(200).astype(np.float32),
+    )
+    assert (tmp_path / "reg_1_input.ply").exists()
+    assert (tmp_path / "reg_2_pred.ply").exists()
+    assert (tmp_path / "reg_3_gt.ply").exists()
+    assert (tmp_path / "reg_4_overlap.ply").exists()
+    assert (tmp_path / "reg.png").exists()
+    # PLY roundtrip sanity
+    from regtr_tpu.utils.ply import read_ply_xyz
+
+    pts = read_ply_xyz(tmp_path / "reg_2_pred.ply")
+    assert pts.shape == (400, 3)
+
+
+def test_multi_bucket_training_flow():
+    """Batches arriving in different buckets recompile once per bucket and
+    keep training (the jit cache handles shape polymorphism)."""
+    from regtr_tpu.models import create_model, init_model_params
+    from regtr_tpu.presets import tiny_config
+    from regtr_tpu.train.optim import make_optimizer
+    from regtr_tpu.train.steps import TrainState, make_train_step
+
+    cfg = tiny_config(base_lr=1e-3, scheduler="none")
+    model = create_model(cfg, 128)  # spec sized for the max bucket
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx)
+    step = make_train_step(model, donate=False)
+
+    def batch(n0, seed):
+        r = np.random.RandomState(seed)
+        return {
+            "points": jnp.asarray(r.rand(2, n0, 3).astype(np.float32) - 0.5),
+            "mask": jnp.ones((2, n0), bool),
+            "pose": jnp.broadcast_to(jnp.eye(3, 4), (1, 3, 4)),
+            "overlap0": jnp.ones((2, n0), jnp.float32),
+        }
+
+    for n0, seed in [(64, 0), (128, 1), (64, 2), (128, 3)]:
+        state, metrics = step(state, batch(n0, seed))
+        assert np.isfinite(float(metrics["total"])), n0
