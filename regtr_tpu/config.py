@@ -71,7 +71,3 @@ def make_config(**kwargs) -> Config:
     cfg.update(kwargs)
     return cfg
 
-
-def save_config(cfg: Config, path):
-    with open(path, "w") as f:
-        yaml.safe_dump({"flat": dict(cfg)}, f)

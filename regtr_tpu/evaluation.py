@@ -72,8 +72,6 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
                     _pose_to_4x4(pose_final[b]),
                 )
         elif dataset_name in ("modelnet", "synthetic"):
-            b = pose_final.shape[0]
-            src, _ = _split_batch_clouds(batch)
             data = {
                 "points_src": _ragged_valid(batch, 0),
                 "points_ref": _ragged_valid(batch, 1),
@@ -122,10 +120,6 @@ def _ragged_valid(batch, which):
         slot = 2 * i + which
         out.append(np.asarray(pts[slot][mask[slot]]))
     return out
-
-
-def _split_batch_clouds(batch):
-    return _ragged_valid(batch, 0), _ragged_valid(batch, 1)
 
 
 def _modelnet_metrics_ragged(data, pose_final):

@@ -150,7 +150,7 @@ class KPFDecoder(nn.Module):
         skip_x = list(skip_x)
         for j, block in enumerate(arch[start:]):
             if j > 0 and "upsample" in arch[start + j - 1]:
-                x = jnp_concat_last(x, skip_x.pop())
+                x = jnp.concatenate([x, skip_x.pop()], axis=-1)
             if block == "unary":
                 x = UnaryBlock(out_dim, self.cfg.get("use_batch_norm", True),
                                name=f"dec_{j}_unary")(x, levels[layer_ind].mask)
@@ -162,8 +162,3 @@ class KPFDecoder(nn.Module):
                 raise ValueError(f"unsupported decoder block {block}")
         return x
 
-
-def jnp_concat_last(a, b):
-    import jax.numpy as jnp
-
-    return jnp.concatenate([a, b], axis=-1)

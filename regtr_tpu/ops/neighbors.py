@@ -18,9 +18,12 @@ which is both order-dependent and nondeterministic on GPU).  KPConv is
 invariant to neighbor ordering, and nearest-K is a strictly better truncation
 when a neighborhood overflows K.
 
-Implementation: tiled top-k merge over support chunks (flash-attention-style
-streaming), so the full (Nq, Ns) distance matrix is never materialized for
-large clouds.
+Three implementations, selected by `method` in radius_neighbors_batch:
+  * 'brute' (default): query-slab distance matrices on the MXU +
+    jax.lax.approx_min_k — measured ~40x faster than index-gather designs
+    on v5e (HBM gathers are latency-bound; matmuls are nearly free);
+  * 'grid': grid-bucket candidate search (sort + scatter cell tables);
+  * 'scan': streaming exact top-k merge — the oracle path for tests.
 """
 from __future__ import annotations
 

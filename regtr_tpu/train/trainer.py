@@ -105,8 +105,7 @@ class Trainer:
                 # Only sync metrics to host at summary boundaries: a per-step
                 # device->host conversion stalls the async dispatch pipeline
                 # (~3x slower on the tunneled backend).
-                if step % self.summary_every == 0 or \
-                        step % max(self.summary_every // 4, 1) == 0:
+                if step % max(self.summary_every // 4, 1) == 0:
                     total = float(metrics["total"])
                     if not np.isfinite(total):
                         self.logger.warning(
