@@ -198,3 +198,48 @@ class TestTrainStep:
         np.testing.assert_allclose(
             float(m0["total"]), float(m1["total"]), rtol=2e-4
         )
+
+
+class TestDecoderHeadVariant:
+    def test_attention_decoder_path(self):
+        """direct_regress_coor=False: the single-head attention decoder whose
+        values are the partner cloud's coordinates (regtr.py:297-396)."""
+        model = create_model(
+            tiny_config(direct_regress_coor=False), N0
+        )
+        variables = init_model_params(model, jax.random.PRNGKey(0))
+        batch = synthetic_batch()
+        out = model.apply(
+            {"params": variables["params"]}, batch["points"], batch["mask"]
+        )
+        corr = np.asarray(out["corr"])
+        assert np.all(np.isfinite(corr))
+        # attention output is a convex combination of partner coordinates ->
+        # predictions lie inside the partner cloud's bounding box
+        pts = np.asarray(batch["points"])
+        for b in range(2 * B):
+            partner = pts[b + 1 if b % 2 == 0 else b - 1]
+            lo, hi = partner.min(0) - 1e-4, partner.max(0) + 1e-4
+            valid = np.asarray(out["kp_mask"][b])
+            c = corr[:, b][:, valid]
+            assert np.all(c >= lo) and np.all(c <= hi), b
+
+    def test_decoder_grads(self):
+        model = create_model(
+            tiny_config(direct_regress_coor=False), N0
+        )
+        variables = init_model_params(model, jax.random.PRNGKey(0))
+        batch = synthetic_batch()
+
+        def loss_fn(p):
+            losses, _ = model.apply(
+                {"params": p}, batch["points"], batch["mask"],
+                batch["pose"], batch["overlap0"], method=model.compute_loss,
+            )
+            return losses["total"]
+
+        g = jax.grad(loss_fn)(variables["params"])
+        assert all(
+            bool(jnp.all(jnp.isfinite(x)))
+            for x in jax.tree_util.tree_leaves(g)
+        )
