@@ -243,3 +243,22 @@ class TestDecoderHeadVariant:
             bool(jnp.all(jnp.isfinite(x)))
             for x in jax.tree_util.tree_leaves(g)
         )
+
+
+def test_register_public_api():
+    """Top-level regtr_tpu.register() on a small cloud pair."""
+    import regtr_tpu
+
+    rng = np.random.RandomState(0)
+    src = rng.rand(300, 3).astype(np.float32) - 0.5
+    pose = se3_np.se3_init(
+        se3_np.sample_uniform_rotation(rng, max_deg=20.0),
+        rng.randn(3).astype(np.float32) * 0.1,
+    )
+    tgt = se3_np.se3_transform(pose, src)
+    out = regtr_tpu.register(src, tgt, cfg=tiny_config(buckets=[320]))
+    assert out["pose"].shape == (3, 4)
+    rot = out["pose"][:, :3]
+    np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
+    assert out["src_kp"].shape[1] == 3
+    assert out["src_overlap"].min() >= 0 and out["src_overlap"].max() <= 1

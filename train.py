@@ -76,7 +76,12 @@ def main(argv=None):
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     logger.info("Devices: %s; mesh: %s", jax.devices()[:n_dev], mesh)
 
-    train_loader = get_dataloader(cfg, "train", num_workers=opt.num_workers)
+    # Multi-host: each process loads its shard of the pair list.
+    shard = (jax.process_index(), jax.process_count()) \
+        if jax.process_count() > 1 else None
+    train_loader = get_dataloader(
+        cfg, "train", num_workers=opt.num_workers, shard=shard
+    )
     val_loader = get_dataloader(cfg, "val", num_workers=opt.num_workers)
     model = create_model(cfg, max(cfg["buckets"]))
 
