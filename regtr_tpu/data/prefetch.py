@@ -79,27 +79,46 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item):
+            """Bounded put that aborts when the consumer went away."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for b in batches:
+                        if stop.is_set():
+                            return
                         samples = list(
                             pool.map(lambda i: self.dataset[int(i)], b)
                         )
-                        q.put(self.collate_fn(samples))
+                        if not _put(self.collate_fn(samples)):
+                            return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Consumer may break mid-epoch (e.g. step budget reached):
+            # release the producer so its thread exits instead of leaking.
+            stop.set()
+            t.join(timeout=5.0)

@@ -111,3 +111,54 @@ class TestEvalProtocol:
         assert (tmp_path / "pred_transforms.npy").exists()
         poses = np.load(tmp_path / "pred_transforms.npy")
         assert poses.shape[-2:] == (3, 4)
+
+
+class TestDataLoader:
+    def test_prefetch_early_break_no_leak(self):
+        import threading
+
+        from functools import partial
+
+        from regtr_tpu.data.collate import collate_pairs
+        from regtr_tpu.data.prefetch import DataLoader
+        from regtr_tpu.data.synthetic import SyntheticShapeDataset
+        from regtr_tpu.data.modelnet_transforms import get_transforms
+        from regtr_tpu.presets import tiny_config
+
+        cfg = tiny_config(num_points=128)
+        _, test_t = get_transforms("crop", num_points=128,
+                                   predator_compat=False)
+        ds = SyntheticShapeDataset(cfg, n_items=32, n_points=256,
+                                   transform=test_t)
+        loader = DataLoader(ds, batch_size=2,
+                            collate_fn=partial(collate_pairs, buckets=[128]),
+                            num_workers=2, prefetch=2)
+        before = threading.active_count()
+        for i, (batch, meta) in enumerate(loader):
+            if i == 1:
+                break  # early exit mid-epoch
+        import time
+
+        time.sleep(1.0)
+        assert threading.active_count() <= before + 1
+
+    def test_sharding_partitions_indices(self):
+        from functools import partial
+
+        from regtr_tpu.data.collate import collate_pairs
+        from regtr_tpu.data.prefetch import DataLoader
+
+        class Identity:
+            def __len__(self):
+                return 10
+
+            def __getitem__(self, i):
+                return i
+
+        collate = lambda xs: xs
+        a = DataLoader(Identity(), 2, collate, shard=(0, 2), num_workers=0)
+        b = DataLoader(Identity(), 2, collate, shard=(1, 2), num_workers=0)
+        got_a = [i for batch in a for i in batch]
+        got_b = [i for batch in b for i in batch]
+        assert sorted(got_a + got_b) == list(range(10))
+        assert not set(got_a) & set(got_b)
