@@ -15,8 +15,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    devices = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
+              platform: Optional[str] = None) -> Mesh:
+    devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
