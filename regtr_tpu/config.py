@@ -42,6 +42,13 @@ TPU_DEFAULTS = {
     "level_capacities": None,
     # Support-tile size for the streaming neighbor search.
     "neighbor_chunk": 1024,
+    # approx_min_k worst-case recall guarantee for the brute neighbor path.
+    # 0.7 measured 7x faster than 0.95 on v5e with actual recall 0.990 vs
+    # 0.997 on real 3DMatch scans (the guarantee is adversarial-case; sparse
+    # in-radius candidates rarely collide in the reduction bins).
+    "neighbor_recall": 0.7,
+    # Spatially sort clouds at pyramid entry (gather locality; deterministic).
+    "sort_input": True,
     # Compute dtype for matmul-heavy ops ("float32" or "bfloat16").
     "compute_dtype": "float32",
     # Deterministic seed for kernel-point dispositions.

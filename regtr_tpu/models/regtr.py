@@ -97,8 +97,13 @@ class RegTR(nn.Module):
             chunk=int(cfg.get("neighbor_chunk", 1024)),
             method=cfg.get("neighbor_method", "brute"),
             cell_cap=int(cfg.get("cell_capacity", 32)),
-            recall_target=float(cfg.get("neighbor_recall", 0.95)),
+            recall_target=float(cfg.get("neighbor_recall", 0.7)),
+            sort_input=bool(cfg.get("sort_input", True)),
         )
+        # When level 0 was spatially sorted, downstream consumers see the
+        # sorted order; masks/points come from the pyramid so only external
+        # per-point labels (overlap0 in compute_loss) need realigning.
+        mask = levels[0].mask
         coarse = levels[-1]
 
         # Constant input feature (regtr.py:122), masked.
@@ -174,6 +179,12 @@ class RegTR(nn.Module):
         losses: Dict[str, jnp.ndarray] = {}
         weights: Dict[str, float] = {}
 
+        if out["levels"][0].perm is not None:
+            # Level 0 was spatially sorted inside build_pyramid; realign the
+            # per-point GT overlap labels to the sorted order.
+            overlap0 = jnp.take_along_axis(
+                overlap0, out["levels"][0].perm, axis=1
+            )
         ov_pyr = compute_overlap_pyramid(overlap0, out["levels"])
         ov_c = ov_pyr[-1]                                  # (2B, Nc)
         src_ov_gt, tgt_ov_gt = split_pairs(ov_c)

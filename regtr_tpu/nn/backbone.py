@@ -79,15 +79,17 @@ def compute_block_geometries(cfg, levels):
             q_pts, idx = levels[li + 1].points, lvl.pools
         else:
             q_pts, idx = lvl.points, lvl.neighbors
+        # bf16 geometry: the (B, N, K, P) influence intermediates and output
+        # are the backbone's biggest tensors; computing them in bf16 (post
+        # fp32 coordinate subtraction) halves their HBM traffic.
+        cdt = (jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16"
+               else None)
         infl, inv_n = kpconv_geometry(
             q_pts, lvl.points, idx, kp, extent,
             influence=cfg.get("KP_influence", "linear"),
             aggregation=cfg.get("aggregation_mode", "sum"),
+            compute_dtype=cdt,
         )
-        if cfg.get("compute_dtype") == "bfloat16":
-            # Halves the HBM traffic of the (B, N, K, P) influence tensor;
-            # influence values live in [0, 1] so bf16 is plenty.
-            infl = infl.astype(jnp.bfloat16)
         geoms[key] = (infl, inv_n)
     return geoms
 

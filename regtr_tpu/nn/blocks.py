@@ -204,7 +204,8 @@ class ResnetBottleneckBlock(nn.Module):
             h, out_mask
         )
 
-        shortcut = max_pool(x, neigh) if strided else x
+        shortcut = (max_pool(x, neigh, compute_dtype=_compute_dtype(cfg))
+                    if strided else x)
         if self.in_dim != self.out_dim:
             shortcut = UnaryBlock(
                 self.out_dim, use_bn, no_relu=True, name="unary_shortcut"

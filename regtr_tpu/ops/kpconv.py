@@ -77,6 +77,7 @@ def kpconv_geometry(
     kp_extent: float,
     influence: str = "linear",
     aggregation: str = "sum",
+    compute_dtype=None,
 ):
     """Neighborhood geometry shared by every KPConv block at a level.
 
@@ -84,6 +85,13 @@ def kpconv_geometry(
     disposition) — not on features or weights — so blocks operating on the
     same pyramid level reuse one geometry instead of re-gathering coordinates
     (gathers are the dominant cost on TPU).
+
+    Precision note: the coordinate gather and the neighbor-minus-query
+    subtraction run in fp32 (absolute room-scale coordinates need it), but
+    `rel` is a small relative offset (|rel| <= conv radius), so with
+    compute_dtype=bfloat16 everything after the subtraction — including the
+    large (B,Nq,K,P) intermediates — runs and materializes in bf16
+    (<=0.4% relative error on distances, well under the kernel extent).
 
     Returns (infl (B, Nq, K, P), inv_n_valid (B, Nq)).
     """
@@ -98,12 +106,15 @@ def kpconv_geometry(
     neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
 
     rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
+    if compute_dtype is not None:
+        rel = rel.astype(compute_dtype)
+        kernel_pts = kernel_pts.astype(compute_dtype)
     # ||rel - kp||^2 via the matmul expansion: avoids materializing the
     # (B,Nq,K,P,3) difference tensor (HBM bandwidth) and runs on the MXU.
     rel_sq = jnp.sum(rel * rel, axis=-1)                       # (B,Nq,K)
     dots = jnp.einsum(
         "bqkc,pc->bqkp", rel, kernel_pts,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=rel.dtype,
     )
     kp_sq = jnp.sum(kernel_pts * kernel_pts, axis=-1)          # (P,)
     sq_d = jnp.maximum(rel_sq[..., None] - 2.0 * dots + kp_sq, 0.0)
@@ -162,14 +173,15 @@ def kpconv_apply(
         )
         return out * inv_n_valid[..., None].astype(out.dtype)
 
+    # Cast BEFORE the gather: the neighbor gather is the dominant HBM cost
+    # of the backbone (measured), and moving bf16 rows halves its traffic.
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        infl = infl.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
     flat_inds = neighb_inds.reshape(b, nq * k)
     neighb_x = batched_row_gather(x_pad, flat_inds).reshape(b, nq, k, cin)
-
-    if compute_dtype is not None:
-        infl = infl.astype(compute_dtype)
-        neighb_x = neighb_x.astype(compute_dtype)
-        weights = weights.astype(compute_dtype)
 
     # (B,Nq,K,P) x (B,Nq,K,C) -> (B,Nq,P,C); then one big matmul on (P*C, C').
     weighted = jnp.einsum(
@@ -193,14 +205,14 @@ def kpconv(
     """Batched KPConv (geometry + apply in one call). (B, Nq, Cout)."""
     infl, inv_n = kpconv_geometry(
         q_pts, s_pts, neighb_inds, kernel_pts, kp_extent,
-        influence, aggregation,
+        influence, aggregation, compute_dtype=compute_dtype,
     )
     return kpconv_apply(
         infl, inv_n, neighb_inds, x, weights, compute_dtype
     )
 
 
-def max_pool(x, pool_inds):
+def max_pool(x, pool_inds, compute_dtype=None):
     """Max-pool features over (pool) neighbor indices.
 
     Mirrors /root/reference/src/models/backbone_kpconv/kpconv_blocks.py:
@@ -209,6 +221,8 @@ def max_pool(x, pool_inds):
 
     x: (B, Ns, C); pool_inds: (B, Nq, K) with shadow = Ns -> (B, Nq, C)
     """
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)  # halve gather traffic (see kpconv_apply)
     b, ns, c = x.shape
     _, nq, k = pool_inds.shape
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, c), x.dtype)], axis=1)

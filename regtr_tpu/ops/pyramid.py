@@ -107,11 +107,32 @@ class PyramidLevel:
     neighbors: jnp.ndarray       # (B, N_l, K_l) int32; shadow = N_l
     pools: Optional[jnp.ndarray] = None      # (B, N_{l+1}, K_l); shadow = N_l
     upsamples: Optional[jnp.ndarray] = None  # (B, N_l, K_l); shadow = N_{l+1}
+    perm: Optional[jnp.ndarray] = None       # (B, N_l) input->sorted order
+                                             # (level 0 only, when sorted)
+
+
+def spatial_sort(points, mask, voxel_size):
+    """Sort each cloud by voxel key (z-major spatial order).
+
+    Downstream neighbor gathers then hit HBM with spatial locality: a query's
+    neighbors sit in nearby rows, so gather transactions coalesce.  Masked
+    points sort to the end (their key is the int32 sentinel) but keep their
+    mask bit.  Deterministic (stable argsort over identical keys).
+    """
+    from .subsample import voxel_keys
+
+    keys = jax.vmap(voxel_keys, (0, 0, None))(points, mask, voxel_size)
+    perm = jnp.argsort(keys, axis=1).astype(jnp.int32)
+    from .kpconv import batched_row_gather
+
+    pts = batched_row_gather(points, perm)
+    msk = jnp.take_along_axis(mask, perm, axis=1)
+    return pts, msk, perm
 
 
 def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
                   method: str = "brute", cell_cap: int = 32,
-                  recall_target: float = 0.95,
+                  recall_target: float = 0.95, sort_input: bool = True,
                   ) -> List[PyramidLevel]:
     """Compute the full multi-level preprocessing pyramid on device.
 
@@ -119,11 +140,18 @@ def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
         points: (B, N0, 3) dense padded clouds (B = 2 * num_pairs).
         mask: (B, N0) validity.
         spec: static shape/radius schedule.
+        sort_input: spatially sort the level-0 cloud first (levels >= 1 are
+            already voxel-key-sorted by the subsampler).  The permutation is
+            stored on level 0 as `perm` so callers can realign per-point
+            labels (see RegTR.compute_loss).
 
     Returns:
         List of PyramidLevel, length spec.num_levels.  The last level has no
         pools/upsamples.
     """
+    perm = None
+    if sort_input:
+        points, mask, perm = spatial_sort(points, mask, spec.voxel_sizes[0])
     levels: List[PyramidLevel] = []
     cur_pts, cur_mask = points, mask
     for li in range(spec.num_levels):
@@ -133,7 +161,8 @@ def build_pyramid(points, mask, spec: PyramidSpec, chunk: int = 1024,
             cur_pts, cur_mask, cur_pts, cur_mask, r, k, chunk=chunk,
             method=method, cell_cap=cell_cap, recall_target=recall_target,
         )
-        level = PyramidLevel(points=cur_pts, mask=cur_mask, neighbors=neigh)
+        level = PyramidLevel(points=cur_pts, mask=cur_mask, neighbors=neigh,
+                             perm=perm if li == 0 else None)
 
         if li + 1 < spec.num_levels:
             dl = spec.voxel_sizes[li + 1]
