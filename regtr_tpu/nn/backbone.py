@@ -13,8 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .blocks import ResnetBottleneckBlock, SimpleBlock, UnaryBlock, UnaryBlock2
-from ..ops.kpconv import closest_pool, global_average, kpconv_geometry, max_pool
-from ..utils.kernel_points import load_kernel_points
+from ..ops.kpconv import closest_pool, global_average, max_pool
 
 
 def encoder_plan(cfg) -> Tuple[list, list, list]:
@@ -56,44 +55,6 @@ def encoder_out_dim(cfg) -> int:
     return skip_dims[-1]
 
 
-def compute_block_geometries(cfg, levels):
-    """Per-level KPConv neighborhood geometry, computed once and shared by
-    every conv block at that level (the coordinate gathers + influence math
-    depend only on the pyramid, not on features/weights)."""
-    plan, _, _ = encoder_plan(cfg)
-    p = cfg["num_kernel_points"]
-    fixed = cfg.get("fixed_kernel_points", "center")
-    seed = cfg.get("kernel_seed", 0)
-    geoms = {}
-    for (name, _in, _out, r, li) in plan:
-        if "simple" not in name and "resnetb" not in name:
-            continue
-        strided = "strided" in name
-        key = ("pool" if strided else "conv", li)
-        if key in geoms:
-            continue
-        lvl = levels[li]
-        extent = r * cfg["KP_extent"] / cfg["conv_radius"]
-        kp = jnp.asarray(load_kernel_points(r, p, 3, fixed, seed))
-        if strided:
-            q_pts, idx = levels[li + 1].points, lvl.pools
-        else:
-            q_pts, idx = lvl.points, lvl.neighbors
-        # bf16 geometry: the (B, N, K, P) influence intermediates and output
-        # are the backbone's biggest tensors; computing them in bf16 (post
-        # fp32 coordinate subtraction) halves their HBM traffic.
-        cdt = (jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16"
-               else None)
-        infl, inv_n = kpconv_geometry(
-            q_pts, lvl.points, idx, kp, extent,
-            influence=cfg.get("KP_influence", "linear"),
-            aggregation=cfg.get("aggregation_mode", "sum"),
-            compute_dtype=cdt,
-        )
-        geoms[key] = (infl, inv_n)
-    return geoms
-
-
 class KPFEncoder(nn.Module):
     """Stacks Simple/Resnet blocks; returns final features + skip features."""
     cfg: Any
@@ -101,10 +62,17 @@ class KPFEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, levels):
         plan, skips, _ = encoder_plan(self.cfg)
-        geoms = compute_block_geometries(self.cfg, levels)
+        # Geometry is computed lazily by the FIRST conv block touching each
+        # (conv/pool, level) table — fused into that block's feature gather
+        # (one merged gather instead of separate coordinate + feature
+        # gathers; gathers cost ~2.3 ns/row independent of row width, so the
+        # merge is free bandwidth).  Later blocks at the level reuse it.
+        geoms: dict = {}
         # Rematerialize each block under grad: per-block residuals (gathered
         # neighbor features etc.) at 3DMatch scale otherwise push XLA temp
-        # memory to ~11 GB and the schedule collapses.
+        # memory to ~11 GB and the schedule collapses.  The geometry escapes
+        # the remat as an explicit block output (it is shared across blocks,
+        # exactly like the precomputed-geometry design it replaces).
         remat = self.cfg.get("remat", True)
         simple_cls = nn.remat(SimpleBlock) if remat else SimpleBlock
         resnet_cls = (nn.remat(ResnetBottleneckBlock) if remat
@@ -113,12 +81,19 @@ class KPFEncoder(nn.Module):
         for i, (name, in_dim, out_dim, r, li) in enumerate(plan):
             if i in skips:
                 skip_x.append(x)
+            key = ("pool" if "strided" in name else "conv", li)
             if "simple" in name:
-                x = simple_cls(name, in_dim, out_dim, r, li, self.cfg,
-                               name=f"block_{i}_{name}")(x, levels, geoms)
+                x, geom = simple_cls(name, in_dim, out_dim, r, li, self.cfg,
+                                     name=f"block_{i}_{name}")(
+                                         x, levels, geoms)
+                if geom is not None:
+                    geoms[key] = geom
             elif "resnetb" in name:
-                x = resnet_cls(name, in_dim, out_dim, r, li, self.cfg,
-                               name=f"block_{i}_{name}")(x, levels, geoms)
+                x, geom = resnet_cls(name, in_dim, out_dim, r, li, self.cfg,
+                                     name=f"block_{i}_{name}")(
+                                         x, levels, geoms)
+                if geom is not None:
+                    geoms[key] = geom
             elif name == "unary":
                 x = UnaryBlock(out_dim, self.cfg.get("use_batch_norm", True),
                                name=f"block_{i}_{name}")(x, levels[li].mask)

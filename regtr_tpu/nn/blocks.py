@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.masking import masked_instance_norm
-from ..ops.kpconv import kpconv, kpconv_apply, max_pool
+from ..ops.kpconv import kpconv_apply, kpconv_fused_gather, max_pool
 from ..utils.kernel_points import load_kernel_points
 
 
@@ -86,7 +86,15 @@ class KPConvLayer(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighb_inds, x, geom=None):
+    def __call__(self, q_pts, s_pts, neighb_inds, x, geom=None, x_extra=None):
+        """Returns (out, maxpool_of_x_extra_or_None, geom_or_None).
+
+        With `geom` given, reuses the precomputed influence tensor (feature
+        gather only).  Without it, runs the fused single-gather path
+        (features + optional shortcut + coordinates in one gather,
+        ops/kpconv.py kpconv_fused_gather) and returns the geometry for
+        reuse by later blocks at the same level.
+        """
         p = self.num_kernel_points
         # torch kaiming_uniform(a=sqrt(5)) on (P, Cin, Cout) gives
         # U(+-1/sqrt(Cin*Cout)); we use fan_in = P*Cin which is the
@@ -101,15 +109,19 @@ class KPConvLayer(nn.Module):
         )
         if geom is not None:
             infl, inv_n = geom
-            return kpconv_apply(
+            out = kpconv_apply(
                 infl, inv_n, neighb_inds, x, weights,
                 compute_dtype=self.compute_dtype,
             )
+            pooled = (max_pool(x_extra, neighb_inds,
+                               compute_dtype=self.compute_dtype)
+                      if x_extra is not None else None)
+            return out, pooled, None
         kp = jnp.asarray(
             load_kernel_points(self.radius, p, 3, self.fixed, self.kernel_seed)
         )
-        return kpconv(
-            q_pts, s_pts, neighb_inds, x, kp, weights, self.extent,
+        return kpconv_fused_gather(
+            q_pts, s_pts, neighb_inds, x, x_extra, kp, weights, self.extent,
             influence=self.influence, aggregation=self.aggregation,
             compute_dtype=self.compute_dtype,
         )
@@ -138,10 +150,9 @@ class SimpleBlock(nn.Module):
             q_pts, neigh, out_mask = q_lvl.points, lvl.pools, q_lvl.mask
         else:
             q_pts, neigh, out_mask = lvl.points, lvl.neighbors, lvl.mask
-        geom = None if geoms is None else geoms.get(
-            ("pool" if strided else "conv", self.layer_ind)
-        )
-        out = KPConvLayer(
+        key = ("pool" if strided else "conv", self.layer_ind)
+        geom = None if geoms is None else geoms.get(key)
+        out, _, new_geom = KPConvLayer(
             cfg["num_kernel_points"], self.in_dim, self.out_dim // 2,
             extent, self.radius,
             influence=cfg.get("KP_influence", "linear"),
@@ -153,7 +164,7 @@ class SimpleBlock(nn.Module):
         )(q_pts, lvl.points, neigh, x, geom=geom)
         out = NormBlock(self.out_dim // 2, cfg.get("use_batch_norm", True),
                         name="norm")(out, out_mask)
-        return leaky_relu(out)
+        return leaky_relu(out), new_geom
 
 
 class ResnetBottleneckBlock(nn.Module):
@@ -180,16 +191,17 @@ class ResnetBottleneckBlock(nn.Module):
             q_pts, neigh, out_mask = q_lvl.points, lvl.pools, q_lvl.mask
         else:
             q_pts, neigh, out_mask = lvl.points, lvl.neighbors, lvl.mask
-        geom = None if geoms is None else geoms.get(
-            ("pool" if strided else "conv", self.layer_ind)
-        )
+        key = ("pool" if strided else "conv", self.layer_ind)
+        geom = None if geoms is None else geoms.get(key)
 
         mid = self.out_dim // 4
         if self.in_dim != mid:
             h = UnaryBlock(mid, use_bn, name="unary1")(x, in_mask)
         else:
             h = x
-        h = KPConvLayer(
+        # Strided blocks fold the shortcut max_pool into the conv's gather
+        # (same neighbor table; see kpconv_fused_gather).
+        h, pooled, new_geom = KPConvLayer(
             cfg["num_kernel_points"], mid, mid, extent, self.radius,
             influence=cfg.get("KP_influence", "linear"),
             aggregation=cfg.get("aggregation_mode", "sum"),
@@ -197,17 +209,17 @@ class ResnetBottleneckBlock(nn.Module):
             kernel_seed=cfg.get("kernel_seed", 0),
             compute_dtype=_compute_dtype(cfg),
             name="kpconv",
-        )(q_pts, lvl.points, neigh, h, geom=geom)
+        )(q_pts, lvl.points, neigh, h, geom=geom,
+          x_extra=x if strided else None)
         h = NormBlock(mid, use_bn, name="norm_conv")(h, out_mask)
         h = leaky_relu(h)
         h = UnaryBlock(self.out_dim, use_bn, no_relu=True, name="unary2")(
             h, out_mask
         )
 
-        shortcut = (max_pool(x, neigh, compute_dtype=_compute_dtype(cfg))
-                    if strided else x)
+        shortcut = pooled if strided else x
         if self.in_dim != self.out_dim:
             shortcut = UnaryBlock(
                 self.out_dim, use_bn, no_relu=True, name="unary_shortcut"
             )(shortcut, out_mask)
-        return leaky_relu(h + shortcut)
+        return leaky_relu(h + shortcut), new_geom

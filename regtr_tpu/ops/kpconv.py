@@ -69,43 +69,15 @@ def _row_gather_bwd(res, g):
 batched_row_gather.defvjp(_row_gather_fwd, _row_gather_bwd)
 
 
-def kpconv_geometry(
-    q_pts,        # (B, Nq, 3)
-    s_pts,        # (B, Ns, 3)
-    neighb_inds,  # (B, Nq, K) int32, shadow = Ns
-    kernel_pts,   # (P, 3)
-    kp_extent: float,
-    influence: str = "linear",
-    aggregation: str = "sum",
-    compute_dtype=None,
-):
-    """Neighborhood geometry shared by every KPConv block at a level.
+def _influence_from_rel(rel, neighb_inds, ns, kernel_pts, kp_extent,
+                        influence="linear", aggregation="sum",
+                        compute_dtype=None):
+    """Influence tensor from relative neighbor offsets.
 
-    The influence tensor depends only on (points, neighbor table, kernel
-    disposition) — not on features or weights — so blocks operating on the
-    same pyramid level reuse one geometry instead of re-gathering coordinates
-    (gathers are the dominant cost on TPU).
-
-    Precision note: the coordinate gather and the neighbor-minus-query
-    subtraction run in fp32 (absolute room-scale coordinates need it), but
-    `rel` is a small relative offset (|rel| <= conv radius), so with
-    compute_dtype=bfloat16 everything after the subtraction — including the
-    large (B,Nq,K,P) intermediates — runs and materializes in bf16
-    (<=0.4% relative error on distances, well under the kernel extent).
-
-    Returns (infl (B, Nq, K, P), inv_n_valid (B, Nq)).
+    rel: (B, Nq, K, 3) neighbor-minus-query offsets (fp32).
+    Returns (infl (B, Nq, K, P), inv_n_valid (B, Nq)) — see kpconv_geometry.
     """
-    b, ns, _ = s_pts.shape
-    _, nq, k = neighb_inds.shape
     p = kernel_pts.shape[0]
-
-    s_pts_pad = jnp.concatenate(
-        [s_pts, jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)], axis=1
-    )
-    flat_inds = neighb_inds.reshape(b, nq * k)
-    neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
-
-    rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
     if compute_dtype is not None:
         rel = rel.astype(compute_dtype)
         kernel_pts = kernel_pts.astype(compute_dtype)
@@ -138,6 +110,48 @@ def kpconv_geometry(
     n_valid = jnp.sum(neighb_inds < ns, axis=-1)                # (B,Nq)
     inv_n_valid = 1.0 / jnp.maximum(n_valid, 1).astype(jnp.float32)
     return infl, inv_n_valid
+
+
+def kpconv_geometry(
+    q_pts,        # (B, Nq, 3)
+    s_pts,        # (B, Ns, 3)
+    neighb_inds,  # (B, Nq, K) int32, shadow = Ns
+    kernel_pts,   # (P, 3)
+    kp_extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+    compute_dtype=None,
+):
+    """Neighborhood geometry shared by every KPConv block at a level.
+
+    The influence tensor depends only on (points, neighbor table, kernel
+    disposition) — not on features or weights — so blocks operating on the
+    same pyramid level reuse one geometry instead of re-gathering coordinates
+    (gathers are the dominant cost on TPU).
+
+    Precision note: the coordinate gather and the neighbor-minus-query
+    subtraction run in fp32 (absolute room-scale coordinates need it), but
+    `rel` is a small relative offset (|rel| <= conv radius), so with
+    compute_dtype=bfloat16 everything after the subtraction — including the
+    large (B,Nq,K,P) intermediates — runs and materializes in bf16
+    (<=0.4% relative error on distances, well under the kernel extent).
+
+    Returns (infl (B, Nq, K, P), inv_n_valid (B, Nq)).
+    """
+    b, ns, _ = s_pts.shape
+    _, nq, k = neighb_inds.shape
+
+    s_pts_pad = jnp.concatenate(
+        [s_pts, jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)], axis=1
+    )
+    flat_inds = neighb_inds.reshape(b, nq * k)
+    neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
+
+    rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
+    return _influence_from_rel(
+        rel, neighb_inds, ns, kernel_pts, kp_extent,
+        influence, aggregation, compute_dtype,
+    )
 
 
 def kpconv_apply(
@@ -177,12 +191,21 @@ def kpconv_apply(
     # of the backbone (measured), and moving bf16 rows halves its traffic.
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-        infl = infl.astype(compute_dtype)
-        weights = weights.astype(compute_dtype)
     x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
     flat_inds = neighb_inds.reshape(b, nq * k)
     neighb_x = batched_row_gather(x_pad, flat_inds).reshape(b, nq, k, cin)
+    return _apply_from_gathered(infl, inv_n_valid, neighb_x, weights,
+                                compute_dtype)
 
+
+def _apply_from_gathered(infl, inv_n_valid, neighb_x, weights, compute_dtype):
+    """KPConv contraction given already-gathered neighbor features."""
+    b, nq, k, cin = neighb_x.shape
+    p = infl.shape[-1]
+    if compute_dtype is not None:
+        infl = infl.astype(compute_dtype)
+        neighb_x = neighb_x.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
     # (B,Nq,K,P) x (B,Nq,K,C) -> (B,Nq,P,C); then one big matmul on (P*C, C').
     weighted = jnp.einsum(
         "bqkp,bqkc->bqpc", infl, neighb_x,
@@ -210,6 +233,90 @@ def kpconv(
     return kpconv_apply(
         infl, inv_n, neighb_inds, x, weights, compute_dtype
     )
+
+
+def _pack_f32_as_bf16(x):
+    """Bit-split (B, N, C) fp32 into (B, N, 2C) bf16 halves (lossless)."""
+    b, n, c = x.shape
+    return jax.lax.bitcast_convert_type(x, jnp.bfloat16).reshape(b, n, 2 * c)
+
+
+def _unpack_bf16_to_f32(h):
+    """Inverse of _pack_f32_as_bf16 on gathered rows: (.., 2C) -> (.., C)."""
+    shape = h.shape[:-1] + (h.shape[-1] // 2, 2)
+    return jax.lax.bitcast_convert_type(h.reshape(shape), jnp.float32)
+
+
+def kpconv_fused_gather(
+    q_pts, s_pts, neighb_inds, x, x_extra, kernel_pts, weights,
+    kp_extent: float, influence: str = "linear", aggregation: str = "sum",
+    compute_dtype=None,
+):
+    """KPConv that computes its own geometry via ONE merged gather.
+
+    On this hardware the neighbor gather costs ~2.3 ns/row regardless of row
+    width up to ~512 B (measured, tools/exp_geom.py), so gathering
+    [conv features | optional shortcut features | support coordinates] as a
+    single wide row costs the same as any one of the three separate gathers.
+    Coordinates are bit-split into bf16 halves (lossless) so the merged row
+    has a single dtype; they are reassembled to fp32 before the geometry
+    subtraction.
+
+    Args:
+        x: (B, Ns, Cin) conv-path features.
+        x_extra: optional (B, Ns, Ce) features to max-pool over the same
+            neighbor table (the strided resnet shortcut).
+
+    Returns:
+        (conv_out (B, Nq, Cout),
+         maxpool_out (B, Nq, Ce) or None,
+         (infl, inv_n_valid) — reusable by later blocks at this level)
+    """
+    b, ns, _ = s_pts.shape
+    _, nq, k = neighb_inds.shape
+    cin = x.shape[-1]
+    ce = 0 if x_extra is None else x_extra.shape[-1]
+    gdtype = compute_dtype if compute_dtype is not None else x.dtype
+
+    parts = [x.astype(gdtype)]
+    if x_extra is not None:
+        parts.append(x_extra.astype(gdtype))
+    if compute_dtype is not None:
+        parts.append(_pack_f32_as_bf16(s_pts.astype(jnp.float32)))
+        ccoord = 6
+        pad_coord = _pack_f32_as_bf16(
+            jnp.full((b, 1, 3), SHADOW_COORD, jnp.float32))
+    else:
+        parts.append(s_pts)
+        ccoord = 3
+        pad_coord = jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)
+    cat = jnp.concatenate(parts, axis=-1)
+    pad_row = jnp.concatenate(
+        [jnp.zeros((b, 1, cin + ce), gdtype), pad_coord.astype(gdtype)],
+        axis=-1,
+    )
+    cat = jnp.concatenate([cat, pad_row], axis=1)
+
+    flat_inds = neighb_inds.reshape(b, nq * k)
+    g = batched_row_gather(cat, flat_inds).reshape(b, nq, k, cin + ce + ccoord)
+
+    neighb_x = g[..., :cin]
+    if compute_dtype is not None:
+        neighbors = _unpack_bf16_to_f32(g[..., cin + ce:])
+    else:
+        neighbors = g[..., cin + ce:]
+    rel = neighbors - q_pts[:, :, None, :]
+    infl, inv_n = _influence_from_rel(
+        rel, neighb_inds, ns, kernel_pts, kp_extent,
+        influence, aggregation, compute_dtype,
+    )
+    out = _apply_from_gathered(infl, inv_n, neighb_x, weights, compute_dtype)
+
+    pooled = None
+    if x_extra is not None:
+        # Shadow rows gathered zeros, matching max_pool's zero pad row.
+        pooled = jnp.max(g[..., cin:cin + ce], axis=2)
+    return out, pooled, (infl, inv_n)
 
 
 def max_pool(x, pool_inds, compute_dtype=None):
