@@ -49,6 +49,9 @@ TPU_DEFAULTS = {
     "neighbor_recall": 0.7,
     # Spatially sort clouds at pyramid entry (gather locality; deterministic).
     "sort_input": True,
+    # Transformer attention implementation: 'auto' (flash Pallas kernel on
+    # TPU, XLA on CPU), 'pallas', 'pallas_interpret', or 'xla'.
+    "attention_impl": "auto",
     # Compute dtype for matmul-heavy ops ("float32" or "bfloat16").
     "compute_dtype": "float32",
     # Deterministic seed for kernel-point dispositions.

@@ -61,6 +61,7 @@ class RegTR(nn.Module):
             pre_norm=cfg.get("pre_norm", True),
             sa_val_has_pos_emb=cfg.get("sa_val_has_pos_emb", True),
             ca_val_has_pos_emb=cfg.get("ca_val_has_pos_emb", True),
+            attn_impl=cfg.get("attention_impl", "auto"),
             remat=cfg.get("remat", True),
             name="transformer_encoder",
         )

@@ -21,8 +21,27 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from ..core.masking import NEG_INF
 from ..core.pairs import swap_pairs
+from ..ops.pallas import flash_masked_attention
+
+
+def _resolve_attn_impl(impl: str, dropout: float, deterministic: bool) -> str:
+    """'auto' -> flash kernel on TPU-like backends, XLA elsewhere.
+
+    The flash path has no attention-probability tensor, so attention-map
+    analysis (sow) and attention dropout require the XLA path.
+    """
+    if impl == "auto":
+        dd = jax.config.jax_default_device
+        on_cpu = (jax.default_backend() == "cpu"
+                  or (dd is not None and dd.platform == "cpu"))
+        impl = "xla" if on_cpu else "pallas"
+    if impl == "pallas" and dropout > 0.0 and not deterministic:
+        impl = "xla"
+    return impl
 
 
 class MultiHeadAttention(nn.Module):
@@ -30,10 +49,14 @@ class MultiHeadAttention(nn.Module):
 
     Separate q/k/v/out projections (equivalent math to torch's packed
     MultiheadAttention; the checkpoint converter splits the packed weights).
+
+    attn_impl: 'auto' (flash Pallas kernel on TPU, XLA elsewhere), 'pallas',
+    'pallas_interpret' (kernel in interpreter mode — CPU tests), or 'xla'.
     """
     d_model: int
     nhead: int
     dropout: float = 0.0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, q, k, v, key_mask, deterministic=True):
@@ -48,10 +71,32 @@ class MultiHeadAttention(nn.Module):
         qh = heads(q, "q_proj")
         kh = heads(k, "k_proj")
         vh = heads(v, "v_proj")
+        scale = 1.0 / float(d_head) ** 0.5
+
+        impl = _resolve_attn_impl(self.attn_impl, self.dropout, deterministic)
+        if impl in ("pallas", "pallas_interpret"):
+            # bf16 operands, fp32 softmax statistics + accumulation (the
+            # kernel always accumulates in fp32); output cast back.
+            def fold(x):
+                return jnp.transpose(x, (0, 2, 1, 3)).reshape(
+                    b * self.nhead, -1, d_head).astype(jnp.bfloat16)
+
+            bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
+            bias = jnp.broadcast_to(
+                bias[:, None, :], (b, self.nhead, nk)
+            ).reshape(b * self.nhead, nk)
+            o = flash_masked_attention(
+                fold(qh), fold(kh), fold(vh), bias, scale,
+                interpret=(impl == "pallas_interpret"),
+            )
+            out = jnp.transpose(
+                o.reshape(b, self.nhead, nq, d_head), (0, 2, 1, 3)
+            ).reshape(b, nq, self.d_model)
+            return nn.Dense(self.d_model, name="out_proj")(out)
 
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(jnp.asarray(d_head, jnp.float32))
+        ) * scale
         logits = jnp.where(
             key_mask[:, None, None, :], logits, jnp.asarray(NEG_INF, logits.dtype)
         )
@@ -81,6 +126,7 @@ class CrossEncoderLayer(nn.Module):
     pre_norm: bool = True
     sa_val_has_pos_emb: bool = True
     ca_val_has_pos_emb: bool = True
+    attn_impl: str = "auto"
 
     def _act(self, x):
         return {"relu": nn.relu, "gelu": nn.gelu}[self.activation](x)
@@ -90,9 +136,9 @@ class CrossEncoderLayer(nn.Module):
         """x: (2B, N, D) paired features; pos: (2B, N, D) or None;
         mask: (2B, N) validity."""
         sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
-                                name="self_attn")
+                                self.attn_impl, name="self_attn")
         ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
-                                name="cross_attn")
+                                self.attn_impl, name="cross_attn")
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
         norm3 = nn.LayerNorm(name="norm3")
@@ -149,6 +195,7 @@ class TransformerCrossEncoder(nn.Module):
     pre_norm: bool = True
     sa_val_has_pos_emb: bool = True
     ca_val_has_pos_emb: bool = True
+    attn_impl: str = "auto"
 
     remat: bool = True
 
@@ -165,6 +212,7 @@ class TransformerCrossEncoder(nn.Module):
                 self.d_model, self.nhead, self.d_feedforward, self.dropout,
                 self.activation, self.pre_norm,
                 self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,
+                self.attn_impl,
                 name=f"layer_{i}",
             )(x, pos, mask, deterministic)
             intermediates.append(final_norm(x) if final_norm is not None else x)
