@@ -32,14 +32,67 @@ def _pose_to_4x4(pose_3x4):
     )
 
 
+def merge_est_log_dirs(rank_dirs, merged_dir):
+    """Concatenate per-rank est.log trees into one (multi-host test
+    protocol: each process evaluates its loader shard and writes
+    `est_rank{r}/<benchmark>/<scene>/est.log`; rank 0 merges before running
+    the Predator benchmark).  Pair order within a scene is irrelevant to the
+    Redwood-format reader."""
+    merged_dir = Path(merged_dir)
+    for rd in rank_dirs:
+        rd = Path(rd)
+        if not rd.exists():
+            continue
+        for scene_dir in sorted(p for p in rd.iterdir() if p.is_dir()):
+            src = scene_dir / "est.log"
+            if not src.exists():
+                continue
+            dst_dir = merged_dir / scene_dir.name
+            dst_dir.mkdir(parents=True, exist_ok=True)
+            with open(dst_dir / "est.log", "a") as f:
+                f.write(src.read_text())
+
+
+def _allgather_ragged(arr):
+    """All-gather a per-process array whose leading dim differs by process.
+
+    Pads axis 0 to the global max (two fixed-shape allgathers), then strips
+    the padding.  Returns the concatenation over processes, in rank order.
+    """
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(arr, np.float64)
+    if arr.ndim == 0:
+        arr = arr[None]
+    ns = np.asarray(
+        multihost_utils.process_allgather(np.asarray([arr.shape[0]]))
+    ).reshape(-1)
+    m = int(ns.max())
+    padded = np.full((m,) + arr.shape[1:], np.nan)
+    padded[: arr.shape[0]] = arr
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return np.concatenate(
+        [gathered[p, : ns[p]] for p in range(gathered.shape[0])], axis=0
+    )
+
+
 def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
              gt_benchmark_dir=DEFAULT_GT_BENCHMARK_DIR):
-    """Run the full test protocol; returns a dict of summary results."""
+    """Run the full test protocol; returns a dict of summary results.
+
+    Multi-host: the caller shards the test loader by process (test.py); this
+    function all-gathers the per-pair errors, merges per-rank est.log trees,
+    and only process 0 runs the benchmark scoring.
+    """
+    import jax
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     fwd = make_forward(model, mesh=mesh)
     dataset_name = cfg.get("dataset", "modelnet")
     benchmark = cfg.get("benchmark", "3DMatch")
+    proc, nproc = jax.process_index(), jax.process_count()
+    est_root = out_dir if nproc == 1 else out_dir / f"est_rank{proc}"
 
     rot_errs, trans_errs = [], []
     mn_metrics, mn_poses = [], []
@@ -58,14 +111,17 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
             for b in range(pose_final.shape[0]):
                 src_path = meta["src_path"][b]
                 tgt_path = meta["tgt_path"][b]
-                scene = src_path.split(os.path.sep)[1]
+                # Scene = the directory containing the cloud file; robust to
+                # any `<...>/<scene>/cloud_bin_N.pth` layout (the reference
+                # hardcodes path component [1], generic_reg_model.py:266).
+                scene = Path(src_path).parent.name
                 src_idx = int(
                     os.path.basename(src_path).split("_")[-1].replace(".pth", "")
                 )
                 tgt_idx = int(
                     os.path.basename(tgt_path).split("_")[-1].replace(".pth", "")
                 )
-                scene_dir = out_dir / benchmark / scene
+                scene_dir = est_root / benchmark / scene
                 scene_dir.mkdir(parents=True, exist_ok=True)
                 write_est_log(
                     scene_dir / "est.log", tgt_idx, src_idx,
@@ -81,6 +137,18 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
             mn_metrics.append(_modelnet_metrics_ragged(data, pose_final))
             mn_poses.append(pose_final)
 
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+
+        rot_errs = _allgather_ragged(rot_errs).tolist()
+        trans_errs = _allgather_ragged(trans_errs).tolist()
+        multihost_utils.sync_global_devices("regtr_est_logs_written")
+        if proc == 0 and dataset_name == "3dmatch":
+            merge_est_log_dirs(
+                [out_dir / f"est_rank{r}" / benchmark for r in range(nproc)],
+                out_dir / benchmark,
+            )
+
     results = {
         "rot_err_deg_mean": float(np.mean(rot_errs)),
         "trans_err_mean": float(np.mean(trans_errs)),
@@ -92,7 +160,9 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
 
     if dataset_name == "3dmatch":
         gt_dir = os.path.join(gt_benchmark_dir, benchmark)
-        if os.path.exists(gt_dir):
+        if proc != 0:
+            pass  # only rank 0 scores the merged est.log tree
+        elif os.path.exists(gt_dir):
             report, recall = bm_predator.benchmark(
                 str(out_dir / benchmark), gt_dir
             )
@@ -104,10 +174,15 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
     elif dataset_name in ("modelnet", "synthetic") and mn_metrics:
         keys = mn_metrics[0].keys()
         cat = {k: np.concatenate([m[k] for m in mn_metrics]) for k in keys}
+        poses = np.concatenate(mn_poses)
+        if nproc > 1:
+            cat = {k: _allgather_ragged(v) for k, v in cat.items()}
+            poses = _allgather_ragged(poses)
         summary = bm_modelnet.summarize_metrics(cat)
         bm_modelnet.print_metrics(logger, summary)
         results.update(summary)
-        np.save(out_dir / "pred_transforms.npy", np.concatenate(mn_poses))
+        if proc == 0:
+            np.save(out_dir / "pred_transforms.npy", poses)
 
     return results
 

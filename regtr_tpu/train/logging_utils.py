@@ -87,11 +87,30 @@ class AverageMeter:
         return self.sum / max(self.count, 1)
 
 
+def combine_process_sums(gathered):
+    """Combine per-process (sum, count) stats into global averages.
+
+    gathered: (P, K, 2) array — for each of P processes, K metrics'
+    (sum, count).  Returns (K,) global averages.  Pure so it is unit-testable
+    without a multi-process run; _run_validation feeds it the result of
+    jax.experimental.multihost_utils.process_allgather.
+    """
+    tot = np.asarray(gathered, np.float64).sum(axis=0)       # (K, 2)
+    return tot[:, 0] / np.maximum(tot[:, 1], 1.0)
+
+
 class StatsMeter:
     """Dict of AverageMeters keyed by metric name."""
 
     def __init__(self):
         self.meters = defaultdict(AverageMeter)
+
+    def sums_counts(self, keys):
+        """(K, 2) array of (sum, count) for cross-process reduction."""
+        return np.asarray(
+            [[self.meters[k].sum, self.meters[k].count] for k in keys],
+            np.float64,
+        )
 
     def update(self, metrics: dict):
         for k, v in metrics.items():
@@ -134,6 +153,26 @@ class MetricsWriter:
             for k, v in rec.items():
                 if k != "step":
                     self._tb.add_scalar(k, v, step)
+
+    def write_histogram(self, step: int, tag: str, values):
+        """Per-pair error distribution (reference logs these as TensorBoard
+        histograms, generic_reg_model.py:119-123).  JSONL gets quantile
+        summaries; TensorBoard gets the full histogram."""
+        v = np.asarray(values, np.float64).reshape(-1)
+        if v.size == 0:
+            return
+        rec = {
+            "step": int(step), "tag": tag, "count": int(v.size),
+            "mean": float(v.mean()),
+            "p50": float(np.percentile(v, 50)),
+            "p90": float(np.percentile(v, 90)),
+            "p99": float(np.percentile(v, 99)),
+            "max": float(v.max()),
+        }
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_histogram(tag, v, step)
 
     def close(self):
         self._f.close()

@@ -21,21 +21,29 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def registration_metrics(pose_pred, pose_gt, cfg) -> Dict[str, jnp.ndarray]:
+def registration_metrics(pose_pred, pose_gt, cfg, per_pair: bool = False
+                         ) -> Dict[str, jnp.ndarray]:
     """Rot/trans errors per decoder layer + success rate at the validation
-    thresholds (generic_reg_model.py:197-250)."""
+    thresholds (generic_reg_model.py:197-250).  With per_pair=True also
+    returns the final-layer per-pair errors under 'hist/...' keys, which the
+    trainer aggregates into validation histograms
+    (generic_reg_model.py:119-123)."""
     err = se3_compare(pose_pred, pose_gt[None])           # over (L, B)
     rot_thresh = float(cfg.get("reg_success_thresh_rot", 10.0))
     trans_thresh = float(cfg.get("reg_success_thresh_trans", 0.1))
     success = (
         (err["rot_deg"] < rot_thresh) & (err["trans"] < trans_thresh)
     ).astype(jnp.float32)
-    return {
+    out = {
         "rot_err_deg": jnp.mean(err["rot_deg"], axis=-1),   # (L,)
         "trans_err": jnp.mean(err["trans"], axis=-1),       # (L,)
         "reg_success": jnp.mean(success, axis=-1),          # (L,)
         "reg_success_final": jnp.mean(success[-1]),
     }
+    if per_pair:
+        out["hist/rot_err_deg"] = err["rot_deg"][-1]        # (B,)
+        out["hist/trans_err"] = err["trans"][-1]            # (B,)
+    return out
 
 
 def make_train_step(model, mesh=None, donate: bool = True):
@@ -66,8 +74,26 @@ def make_train_step(model, mesh=None, donate: bool = True):
         grads, (losses, pose_pred) = jax.grad(loss_fn, has_aux=True)(params)
         return grads, losses, pose_pred
 
-    def apply_fn(state: TrainState, grads):
-        return state.apply_gradients(grads=grads)
+    def apply_fn(state: TrainState, grads, total):
+        # Skip the update when the loss or any gradient is non-finite
+        # (reference trainer.py:129-132 detects and skips before stepping).
+        # In-graph so one bad batch cannot poison the params between host
+        # syncs; the skip is counted in the metrics ('update_skipped').
+        grad_sq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree_util.tree_leaves(grads)
+        )
+        ok = jnp.isfinite(total) & jnp.isfinite(grad_sq)
+        safe_grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        new_state = state.apply_gradients(grads=safe_grads)
+        # Zero grads still advance opt_state (moments decay); on a skipped
+        # step keep the old state entirely, like the reference's `continue`.
+        new_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_state, state,
+        )
+        return new_state, (1.0 - ok.astype(jnp.float32))
 
     def metrics_fn(losses, pose_pred, pose_gt, grads):
         metrics = dict(losses)
@@ -88,8 +114,8 @@ def make_train_step(model, mesh=None, donate: bool = True):
             "pose": bs, "overlap0": bs,
         })
         g_kwargs["out_shardings"] = (rep, rep, rep)
-        a_kwargs["in_shardings"] = (rep, rep)
-        a_kwargs["out_shardings"] = rep
+        a_kwargs["in_shardings"] = (rep, rep, rep)
+        a_kwargs["out_shardings"] = (rep, rep)
         m_kwargs["in_shardings"] = (rep, rep, bs, rep)
         m_kwargs["out_shardings"] = rep
     g_jit = jax.jit(grads_fn, **g_kwargs)
@@ -99,7 +125,9 @@ def make_train_step(model, mesh=None, donate: bool = True):
     def step(state: TrainState, batch: Dict[str, Any]):
         grads, losses, pose_pred = g_jit(state.params, batch)
         metrics = m_jit(losses, pose_pred, batch["pose"], grads)
-        return a_jit(state, grads), metrics
+        new_state, skipped = a_jit(state, grads, losses["total"])
+        metrics["update_skipped"] = skipped
+        return new_state, metrics
 
     return step
 
@@ -117,7 +145,8 @@ def make_eval_step(model, mesh=None):
         )
         metrics = dict(losses)
         metrics.update(
-            registration_metrics(out["pose"], batch["pose"], model.cfg)
+            registration_metrics(out["pose"], batch["pose"], model.cfg,
+                                 per_pair=True)
         )
         return metrics
 

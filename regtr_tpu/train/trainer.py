@@ -32,9 +32,10 @@ from .steps import TrainState, make_eval_step, make_train_step
 
 
 class Trainer:
-    def __init__(self, cfg, logdir, mesh=None, grad_clip=None,
+    def __init__(self, cfg, logdir, mesh=None,
                  summary_every: int = 500, validate_every: int = -1,
                  nb_sanity_val_steps: int = 2):
+        # NOTE: gradient clipping comes from cfg.grad_clip via make_optimizer.
         self.cfg = cfg
         self.logdir = Path(logdir)
         self.mesh = mesh
@@ -92,6 +93,8 @@ class Trainer:
             )
 
         writer = MetricsWriter(self.logdir, "train")
+        val_writer = MetricsWriter(self.logdir, "val") \
+            if val_loader is not None else None
         meters = StatsMeter()
         best_score = -np.inf
         epoch = 0
@@ -130,7 +133,10 @@ class Trainer:
                     meters.reset()
                 if validate_every > 0 and step % validate_every == 0 \
                         and val_loader is not None:
-                    score = self._run_validation(eval_step, state, val_loader)
+                    score = self._run_validation(
+                        eval_step, state, val_loader,
+                        writer=val_writer, step=step,
+                    )
                     self.saver.save(step, state, score=score)
                     best_score = max(best_score, score)
                 if step >= total_steps:
@@ -138,25 +144,53 @@ class Trainer:
                     break
             epoch += 1
         if val_loader is not None:
-            score = self._run_validation(eval_step, state, val_loader)
+            score = self._run_validation(
+                eval_step, state, val_loader, writer=val_writer, step=step
+            )
             self.saver.save(step, state, score=score)
+        if val_writer is not None:
+            val_writer.close()
         writer.close()
         return state, step
 
-    def _run_validation(self, eval_step, state, val_loader, limit=None):
+    def _run_validation(self, eval_step, state, val_loader, limit=None,
+                        writer=None, step=0):
         meters = StatsMeter()
+        per_pair = {}
         for i, (batch, _meta) in enumerate(val_loader):
             if limit is not None and i >= limit:
                 break
-            metrics = eval_step(state.params, self._put(batch))
+            metrics = dict(eval_step(state.params, self._put(batch)))
+            for k in [k for k in metrics if k.startswith("hist/")]:
+                per_pair.setdefault(k, []).append(np.asarray(metrics.pop(k)))
             meters.update({k: np.asarray(v) for k, v in metrics.items()})
-        avgs = meters.averages()
+        avgs = self._global_averages(meters)
         score = avgs.get("reg_success_final", 0.0)
         self.logger.info(
             "validation | score %.4f | %s", score,
             ", ".join(f"{k}={v:.4f}" for k, v in sorted(avgs.items())),
         )
+        if writer is not None:
+            writer.write(step, avgs)
+            for k, chunks in per_pair.items():
+                writer.write_histogram(step, k, np.concatenate(chunks))
         return score
+
+    def _global_averages(self, meters):
+        """Validation averages, reduced across processes when multi-host
+        (each process evaluates its own loader shard; see SURVEY.md §2.3)."""
+        avgs = meters.averages()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            from .logging_utils import combine_process_sums
+
+            keys = sorted(meters.meters)
+            gathered = np.asarray(
+                multihost_utils.process_allgather(meters.sums_counts(keys))
+            )
+            avgs = dict(zip(keys, combine_process_sums(gathered).tolist()))
+        return avgs
 
     def test(self, model, test_loader, params, test_step_fn):
         """Run the dataset-specific test protocol; see eval/ for the

@@ -109,3 +109,91 @@ def test_multi_bucket_training_flow():
     for n0, seed in [(64, 0), (128, 1), (64, 2), (128, 3)]:
         state, metrics = step(state, batch(n0, seed))
         assert np.isfinite(float(metrics["total"])), n0
+
+
+def test_nan_batch_skips_update_in_graph():
+    """A batch producing a non-finite loss must leave params AND opt state
+    unchanged (reference trainer.py:129-132 skips before stepping), and the
+    step must report update_skipped=1."""
+    from regtr_tpu.models import create_model, init_model_params
+    from regtr_tpu.presets import tiny_config
+    from regtr_tpu.train.optim import make_optimizer
+    from regtr_tpu.train.steps import TrainState, make_train_step
+
+    n0 = 96
+    r = np.random.RandomState(3)
+    good = {
+        "points": jnp.asarray(r.rand(2, n0, 3).astype(np.float32) - 0.5),
+        "mask": jnp.ones((2, n0), bool),
+        "pose": jnp.broadcast_to(jnp.eye(3, 4), (1, 3, 4)),
+        "overlap0": jnp.ones((2, n0), jnp.float32),
+    }
+    bad = dict(good)
+    pts = np.asarray(good["points"]).copy()
+    pts[0, 5] = np.nan
+    bad["points"] = jnp.asarray(pts)
+
+    cfg = tiny_config(base_lr=1e-3, scheduler="none")
+    model = create_model(cfg, n0)
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=make_optimizer(cfg))
+    step = make_train_step(model, donate=False)
+
+    state1, m_bad = step(state, bad)
+    assert float(m_bad["update_skipped"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(state1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state1.step) == int(state.step)
+
+    state2, m_good = step(state1, good)
+    assert float(m_good["update_skipped"]) == 0.0
+    assert int(state2.step) == int(state1.step) + 1
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                        jax.tree_util.tree_leaves(state2.params))
+    )
+    assert changed
+
+
+def test_combine_process_sums():
+    """Cross-process metric reduction equals pooling all samples directly."""
+    from regtr_tpu.train.logging_utils import combine_process_sums
+
+    rng = np.random.RandomState(0)
+    # 3 processes, 2 metrics, uneven per-process sample counts
+    samples = [[rng.rand(n) for n in (5, 3)],
+               [rng.rand(n) for n in (2, 7)],
+               [rng.rand(n) for n in (4, 1)]]
+    gathered = np.array([
+        [[s.sum(), len(s)] for s in proc] for proc in samples
+    ])
+    got = combine_process_sums(gathered)
+    for k in range(2):
+        pooled = np.concatenate([samples[p][k] for p in range(3)])
+        np.testing.assert_allclose(got[k], pooled.mean())
+    # zero-count metric stays finite
+    empty = combine_process_sums(np.zeros((2, 1, 2)))
+    assert empty[0] == 0.0
+
+
+def test_merge_est_log_dirs(tmp_path):
+    from regtr_tpu.evaluation import merge_est_log_dirs
+
+    for rank, scenes in [(0, {"sceneA": "a0\n", "sceneB": "b0\n"}),
+                         (1, {"sceneA": "a1\n"})]:
+        for scene, text in scenes.items():
+            d = tmp_path / f"est_rank{rank}" / "3DMatch" / scene
+            d.mkdir(parents=True)
+            (d / "est.log").write_text(text)
+
+    merged = tmp_path / "3DMatch"
+    merge_est_log_dirs(
+        [tmp_path / "est_rank0" / "3DMatch", tmp_path / "est_rank1" / "3DMatch"],
+        merged,
+    )
+    assert (merged / "sceneA" / "est.log").read_text() == "a0\na1\n"
+    assert (merged / "sceneB" / "est.log").read_text() == "b0\n"

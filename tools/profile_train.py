@@ -1,0 +1,91 @@
+"""Profile the full training step at 3DMatch scale on TPU.
+
+Usage: python tools/profile_train.py [n_pairs=2] [n0=20480] [dtype=bfloat16]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "axon")
+if "cpu" not in os.environ["JAX_PLATFORMS"]:
+    os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from bench import load_pair
+    from regtr_tpu.models import create_model, init_model_params
+    from regtr_tpu.presets import threedmatch_config
+    from regtr_tpu.train.optim import make_optimizer
+    from regtr_tpu.train.steps import TrainState, make_train_step
+    from regtr_tpu.utils.profiling import force
+
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n0 = int(sys.argv[2]) if len(sys.argv) > 2 else 20480
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+
+    src, tgt = load_pair()
+
+    def pad(p):
+        out = np.zeros((n0, 3), np.float32)
+        out[: len(p)] = p[:n0]
+        m = np.zeros(n0, bool)
+        m[: min(len(p), n0)] = True
+        return out, m
+
+    ps, ms = pad(src)
+    pt, mt = pad(tgt)
+    pts = np.stack([ps, pt] * n_pairs)
+    mask = np.stack([ms, mt] * n_pairs)
+    pose = np.broadcast_to(np.eye(3, 4, dtype=np.float32),
+                           (n_pairs, 3, 4)).copy()
+    ov = np.ones((2 * n_pairs, n0), np.float32)
+
+    cfg = threedmatch_config(compute_dtype=dtype)
+    model = create_model(cfg, n0)
+    dev = jax.devices()[0]
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = init_model_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx)
+    state = jax.device_put(state, dev)
+    batch = {
+        "points": jax.device_put(jnp.asarray(pts), dev),
+        "mask": jax.device_put(jnp.asarray(mask), dev),
+        "pose": jax.device_put(jnp.asarray(pose), dev),
+        "overlap0": jax.device_put(jnp.asarray(ov), dev),
+    }
+
+    step = make_train_step(model)
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    force(metrics["total"])
+    print(f"compile+first: {time.time()-t0:.1f}s  "
+          f"loss={float(metrics['total']):.3f}", flush=True)
+    state, metrics = step(state, batch)
+    force(metrics["total"])
+    t0 = time.time()
+    force(metrics["total"])
+    rtt = time.time() - t0
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    force(metrics["total"])
+    dt = (time.time() - t0 - rtt) / iters
+    print(f"train step: {dt*1000:.0f} ms  ({n_pairs/dt:.2f} pairs/s)  "
+          f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
