@@ -51,6 +51,8 @@ def main(argv=None):
     p.add_argument("--tgt", type=str, help="Target cloud (overrides example)")
     p.add_argument("--ckpt", type=str, help="Checkpoint dir (optional; random"
                    " weights give garbage poses but exercise the pipeline)")
+    p.add_argument("--params", type=str, help="Flat .npz params (e.g. from"
+                   " tools/convert_torch_ckpt.py); alternative to --ckpt")
     p.add_argument("--config", type=str, help="Config YAML")
     p.add_argument("--out", type=str, default="demo_out",
                    help="Output dir for PLY visualization")
@@ -99,7 +101,15 @@ def main(argv=None):
 
     variables = init_model_params(model, jax.random.PRNGKey(0))
     params = variables["params"]
-    if opt.ckpt:
+    npz_path = opt.params or (
+        opt.ckpt if opt.ckpt and opt.ckpt.endswith(".npz") else None
+    )
+    if npz_path:
+        from regtr_tpu.train.checkpoints import load_params_npz
+
+        params = load_params_npz(npz_path, params)
+        print(f"loaded .npz params from {npz_path}")
+    elif opt.ckpt:
         from regtr_tpu.train.checkpoints import CheckpointManager
         from regtr_tpu.train.optim import make_optimizer
         from regtr_tpu.train.steps import TrainState

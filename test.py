@@ -16,8 +16,11 @@ from pathlib import Path
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a registration model")
     p.add_argument("--config", type=str, help="Config YAML (default: next to ckpt)")
-    p.add_argument("--resume", type=str, required=True,
-                   help="Checkpoint directory (orbax)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="Checkpoint directory (orbax) or a flat .npz")
+    p.add_argument("--params", type=str, default=None,
+                   help="Flat .npz params (e.g. from tools/convert_torch_"
+                        "ckpt.py); alternative to --resume")
     p.add_argument("--benchmark", type=str, default="3DMatch",
                    choices=["3DMatch", "3DLoMatch", "ModelNet", "ModelLoNet"])
     p.add_argument("--logdir", type=str, default="../logs")
@@ -45,12 +48,15 @@ def main(argv=None):
     from regtr_tpu.train.optim import make_optimizer
     from regtr_tpu.train.steps import TrainState
 
+    if opt.resume is None and opt.params is None:
+        sys.exit("one of --resume / --params is required")
+    ckpt_ref = opt.resume or opt.params
     if opt.config is None:
-        candidate = Path(opt.resume).parent / "config.yaml"
+        candidate = Path(ckpt_ref).parent / "config.yaml"
         if not candidate.exists():
-            candidate = Path(opt.resume) / "config.yaml"
+            candidate = Path(ckpt_ref) / "config.yaml"
         if not candidate.exists():
-            sys.exit(f"config.yaml not found near {opt.resume}")
+            sys.exit(f"config.yaml not found near {ckpt_ref}")
         opt.config = str(candidate)
     cfg = load_config(opt.config)
 
@@ -63,19 +69,33 @@ def main(argv=None):
             else [0.7, 0.7]
 
     logger, logdir = prepare_logger(opt.logdir, dev=opt.dev)
-    test_loader = get_dataloader(cfg, "test", num_workers=opt.num_workers)
+    shard = (jax.process_index(), jax.process_count()) \
+        if jax.process_count() > 1 else None
+    test_loader = get_dataloader(
+        cfg, "test", num_workers=opt.num_workers, shard=shard
+    )
 
     model = create_model(cfg, max(cfg["buckets"]))
     variables = init_model_params(model, jax.random.PRNGKey(0))
-    tx = make_optimizer(cfg)
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"], tx=tx
+    npz_path = opt.params or (
+        opt.resume if str(ckpt_ref).endswith(".npz") else None
     )
-    saver = CheckpointManager(opt.resume)
-    state, step = saver.restore(state, best=True)
-    logger.info("Loaded checkpoint at step %d", step)
+    if npz_path:
+        from regtr_tpu.train.checkpoints import load_params_npz
 
-    results = run_test(cfg, model, state.params, test_loader, logdir)
+        params = load_params_npz(npz_path, variables["params"])
+        logger.info("Loaded .npz params from %s", npz_path)
+    else:
+        tx = make_optimizer(cfg)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"], tx=tx
+        )
+        saver = CheckpointManager(opt.resume)
+        state, step = saver.restore(state, best=True)
+        params = state.params
+        logger.info("Loaded checkpoint at step %d", step)
+
+    results = run_test(cfg, model, params, test_loader, logdir)
     logger.info("Test results: %s", results)
 
 

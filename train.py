@@ -82,7 +82,11 @@ def main(argv=None):
     train_loader = get_dataloader(
         cfg, "train", num_workers=opt.num_workers, shard=shard
     )
-    val_loader = get_dataloader(cfg, "val", num_workers=opt.num_workers)
+    # Validation is also sharded per process; the trainer reduces the metric
+    # sums across processes (Trainer._global_averages).
+    val_loader = get_dataloader(
+        cfg, "val", num_workers=opt.num_workers, shard=shard
+    )
     model = create_model(cfg, max(cfg["buckets"]))
 
     trainer = Trainer(
