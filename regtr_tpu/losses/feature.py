@@ -78,14 +78,10 @@ class InfoNCELoss(nn.Module):
         return jnp.mean(per_pair)
 
 
-def circle_loss(feats_a, feats_b, xyz_a, xyz_b, mask_a, mask_b,
-                r_p, r_n, log_scale=10.0, pos_margin=0.1, neg_margin=1.4,
-                dist_type="euclidean"):
-    """Masked circle loss over all descriptor pairs (CircleLossFull,
-    feature_loss.py:160-243).  Returns scalar (mean over pairs)."""
-    coords_dist = jnp.sqrt(pairwise_sqdist(xyz_a, xyz_b) + 1e-12)
+def _feature_dist(feats_a, feats_b, dist_type):
+    """(B, Na, D) x (B, Nb, D) -> (B, Na, Nb) descriptor distances."""
     if dist_type == "euclidean":
-        fd = jnp.sqrt(pairwise_sqdist(feats_a, feats_b) + 1e-12)
+        return jnp.sqrt(pairwise_sqdist(feats_a, feats_b) + 1e-12)
     elif dist_type == "cosine":
         num = jnp.einsum("bic,bjc->bij", feats_a, feats_b)
         den = jnp.maximum(
@@ -93,11 +89,15 @@ def circle_loss(feats_a, feats_b, xyz_a, xyz_b, mask_a, mask_b,
             * jnp.linalg.norm(feats_b, axis=-1)[..., None, :],
             1e-8,
         )
-        fd = 1.0 - num / den
-    else:
-        raise ValueError(dist_type)
+        return 1.0 - num / den
+    raise ValueError(dist_type)
 
-    valid = mask_a[:, :, None] & mask_b[:, None, :]
+
+def _circle_core(coords_dist, fd, valid, r_p, r_n,
+                 log_scale, pos_margin, neg_margin):
+    """Circle loss on precomputed distance matrices (the shared math of
+    CircleLoss.get_circle_loss / CircleLossFull, feature_loss.py:86-126,
+    :160-243).  coords_dist/fd/valid: (B, Na, Nb)."""
     pos_mask = (coords_dist < r_p) & valid
     neg_mask = (coords_dist > r_n) & valid
 
@@ -122,3 +122,83 @@ def circle_loss(feats_a, feats_b, xyz_a, xyz_b, mask_a, mask_b,
         return jnp.sum(x * s) / jnp.maximum(jnp.sum(s), 1.0)
 
     return (sel_mean(loss_row, row_sel) + sel_mean(loss_col, col_sel)) / 2.0
+
+
+def circle_loss(feats_a, feats_b, xyz_a, xyz_b, mask_a, mask_b,
+                r_p, r_n, log_scale=10.0, pos_margin=0.1, neg_margin=1.4,
+                dist_type="euclidean"):
+    """Masked circle loss over all descriptor pairs (CircleLossFull,
+    feature_loss.py:160-243).  Returns scalar (mean over pairs)."""
+    coords_dist = jnp.sqrt(pairwise_sqdist(xyz_a, xyz_b) + 1e-12)
+    fd = _feature_dist(feats_a, feats_b, dist_type)
+    valid = mask_a[:, :, None] & mask_b[:, None, :]
+    return _circle_core(coords_dist, fd, valid, r_p, r_n,
+                        log_scale, pos_margin, neg_margin)
+
+
+def sample_correspondences(key, xyz_a, xyz_b, mask_a, mask_b, r_p, n_sample):
+    """Uniformly sample n_sample GT correspondences per pair.
+
+    A correspondence is any valid (i, j) with |xyz_a_i - xyz_b_j| < r_p - 1e-3
+    (the reference finds these with a radius search, feature_loss.py:137-139).
+    Sampling is without replacement when at least n_sample candidates exist,
+    else with replacement (matching `np.random.choice(..., replace=len <
+    n_sample)` at feature_loss.py:145-147), realised fixed-shape via Gumbel
+    top-k with a categorical fallback per slot.
+
+    Returns (idx_a, idx_b, valid): (B, n_sample) each; `valid` is False for
+    pairs with zero candidates (whose indices are arbitrary).
+    """
+    sqd = pairwise_sqdist(xyz_a, xyz_b)
+    cand = (sqd < (r_p - 1e-3) ** 2) & mask_a[:, :, None] & mask_b[:, None, :]
+    b, na, nb = cand.shape
+    flat = cand.reshape(b, na * nb)
+    neg = jnp.asarray(-1e30, jnp.float32)
+
+    k1, k2 = jax.random.split(key)
+    gumbel = jax.random.gumbel(k1, flat.shape, jnp.float32)
+    scores = jnp.where(flat, gumbel, neg)
+    top_val, top_idx = jax.lax.top_k(scores, n_sample)        # (B, n_sample)
+
+    logits = jnp.where(flat, 0.0, neg)
+    idx_wr = jax.random.categorical(k2, logits[:, None, :], axis=-1,
+                                    shape=(b, n_sample))
+    slot_ok = top_val > neg / 2
+    idx = jnp.where(slot_ok, top_idx, idx_wr)
+    valid = jnp.any(flat, axis=-1, keepdims=True) & jnp.ones(
+        (b, n_sample), bool
+    )
+    return idx // nb, idx % nb, valid
+
+
+def circle_loss_sampled(feats_a, feats_b, xyz_a, xyz_b, mask_a, mask_b,
+                        r_p, r_n, key=None, n_sample=256, log_scale=10.0,
+                        pos_margin=0.1, neg_margin=1.4,
+                        dist_type="euclidean"):
+    """Sampled circle loss (CircleLoss, feature_loss.py:52-157): draw
+    n_sample GT correspondences per pair, then run circle loss on the
+    (n_sample, n_sample) sampled distance matrices — reference cost
+    characteristics independent of cloud size.
+
+    If `key` is None a key is derived from the coordinates, so the sampling
+    is random across batches but reproducible (determinism is a framework
+    goal; the reference uses global np.random state here).
+    """
+    if key is None:
+        bits = jax.lax.bitcast_convert_type(
+            jnp.sum(xyz_a, dtype=jnp.float32), jnp.int32
+        )
+        key = jax.random.fold_in(jax.random.PRNGKey(17), bits)
+    idx_a, idx_b, valid = sample_correspondences(
+        key, xyz_a, xyz_b, mask_a, mask_b, r_p, n_sample
+    )
+    fa = jnp.take_along_axis(feats_a, idx_a[..., None], axis=1)
+    fb = jnp.take_along_axis(feats_b, idx_b[..., None], axis=1)
+    xa = jnp.take_along_axis(xyz_a, idx_a[..., None], axis=1)
+    xb = jnp.take_along_axis(xyz_b, idx_b[..., None], axis=1)
+
+    coords_dist = jnp.sqrt(pairwise_sqdist(xa, xb) + 1e-12)
+    fd = _feature_dist(fa, fb, dist_type)
+    valid_mat = valid[:, :, None] & valid[:, None, :]
+    return _circle_core(coords_dist, fd, valid_mat, r_p, r_n,
+                        log_scale, pos_margin, neg_margin)

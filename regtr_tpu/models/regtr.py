@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..core.pairs import split_pairs
 from ..core.se3 import compute_rigid_transform, se3_inv, se3_transform
 from ..losses.corr import corr_loss
-from ..losses.feature import InfoNCELoss, circle_loss
+from ..losses.feature import InfoNCELoss, circle_loss, circle_loss_sampled
 from ..losses.overlap import overlap_loss
 from ..nn.backbone import KPFEncoder, encoder_out_dim
 from ..nn.heads import CorrespondenceDecoder, CorrespondenceRegressor
@@ -70,6 +70,7 @@ class RegTR(nn.Module):
         else:
             self.head = CorrespondenceDecoder(
                 cfg["d_embed"], cfg.get("corr_decoder_has_pos_emb", True),
+                num_neighbors=int(cfg.get("corr_decoder_num_neighbors", 0)),
                 name="head",
             )
         # Feature criteria hold trainable parameters (InfoNCE W), so they are
@@ -204,28 +205,39 @@ class RegTR(nn.Module):
         # --- feature losses ------------------------------------------------
         src_kp_gt_warped = se3_transform(pose_gt, src_kp)  # GT-aligned src kp
         feat_type = cfg.get("feature_loss_type", "infonce")
-        for i in cfg.get("feature_loss_on", [num_layers - 1]):
-            f_src, f_tgt = split_pairs(out["feats_cond"][i])
+
+        def feature_loss(criterion, f_src, f_tgt, salt):
             if feat_type == "infonce":
-                losses[f"feature_{i}"] = self.feature_criterion(
+                return criterion(
                     f_src, f_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
                 )
-            else:
-                losses[f"feature_{i}"] = circle_loss(
-                    f_src, f_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
-                    cfg["r_p"], cfg["r_n"],
+            if feat_type == "circle_sampled":
+                bits = jax.lax.bitcast_convert_type(
+                    jnp.sum(src_kp_gt_warped, dtype=jnp.float32), jnp.int32
                 )
-            weights[f"feature_{i}"] = cfg.get("wt_feature", 0.1)
-        fu_src, fu_tgt = split_pairs(out["feats_un"])
-        if feat_type == "infonce":
-            losses["feature_un"] = self.feature_criterion_un(
-                fu_src, fu_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask
-            )
-        else:
-            losses["feature_un"] = circle_loss(
-                fu_src, fu_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
+                key = jax.random.fold_in(
+                    jax.random.fold_in(jax.random.PRNGKey(17), bits), salt
+                )
+                return circle_loss_sampled(
+                    f_src, f_tgt, src_kp_gt_warped, tgt_kp,
+                    src_mask, tgt_mask, cfg["r_p"], cfg["r_n"], key=key,
+                    n_sample=int(cfg.get("circle_n_sample", 256)),
+                )
+            return circle_loss(
+                f_src, f_tgt, src_kp_gt_warped, tgt_kp, src_mask, tgt_mask,
                 cfg["r_p"], cfg["r_n"],
             )
+
+        for i in cfg.get("feature_loss_on", [num_layers - 1]):
+            f_src, f_tgt = split_pairs(out["feats_cond"][i])
+            losses[f"feature_{i}"] = feature_loss(
+                self.feature_criterion, f_src, f_tgt, i
+            )
+            weights[f"feature_{i}"] = cfg.get("wt_feature", 0.1)
+        fu_src, fu_tgt = split_pairs(out["feats_un"])
+        losses["feature_un"] = feature_loss(
+            self.feature_criterion_un, fu_src, fu_tgt, num_layers
+        )
         weights["feature_un"] = cfg.get("wt_feature_un", 0.0)
 
         # --- correspondence loss (both directions) -------------------------

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..core.masking import NEG_INF
@@ -33,9 +34,17 @@ class CorrespondenceRegressor(nn.Module):
 
 class CorrespondenceDecoder(nn.Module):
     """Single-head attention decoder: project q/k only, attend into the
-    partner cloud, value = raw partner xyz (regtr.py:297-396)."""
+    partner cloud, value = raw partner xyz (regtr.py:297-396).
+
+    num_neighbors > 0 restricts each query's attention to its
+    num_neighbors highest-scoring partner points before the softmax —
+    the intent of the reference's `num_neighbors` option (regtr.py:341-348;
+    its `neighbor_mask[:, :, haha] = 0` indexing zeroes whole columns
+    rather than per-row entries, so we implement the documented intent,
+    not the bug)."""
     d_embed: int
     use_pos_emb: bool = True
+    num_neighbors: int = 0
 
     @nn.compact
     def __call__(self, feats, xyz, pos, mask):
@@ -63,6 +72,12 @@ class CorrespondenceDecoder(nn.Module):
             mask_partner[None, :, None, :], attn,
             jnp.asarray(NEG_INF, attn.dtype),
         )
+        if self.num_neighbors > 0 and self.num_neighbors < attn.shape[-1]:
+            # Keep only the top-k scores per query (ties at the threshold
+            # are all kept — harmless, and avoids a scatter).
+            kth = jax.lax.top_k(attn, self.num_neighbors)[0][..., -1:]
+            attn = jnp.where(attn >= kth, attn,
+                             jnp.asarray(NEG_INF, attn.dtype))
         attn = nn.softmax(attn, axis=-1)
         corr = jnp.einsum(
             "lbqk,bkc->lbqc", attn, v_partner,

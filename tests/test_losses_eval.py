@@ -6,7 +6,9 @@ import pytest
 
 from regtr_tpu.core import se3_np
 from regtr_tpu.losses.corr import corr_loss
-from regtr_tpu.losses.feature import circle_loss
+from regtr_tpu.losses.feature import (
+    circle_loss, circle_loss_sampled, sample_correspondences,
+)
 from regtr_tpu.losses.overlap import bce_with_logits, overlap_loss
 
 
@@ -88,6 +90,123 @@ class TestCircleLoss:
         m = jnp.ones((1, 12), bool)
 
         g = jax.grad(lambda f: circle_loss(f, fb, xa, xb, m, m, 0.2, 0.4))(fa)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0
+
+    def test_core_matches_numpy_oracle(self):
+        """circle_loss on fully-valid inputs == an independent numpy
+        implementation of the published circle-loss formula (the shared math
+        of the reference's CircleLoss.get_circle_loss,
+        feature_loss.py:86-126)."""
+        from scipy.special import logsumexp as np_lse
+
+        rng = np.random.RandomState(7)
+        b, na, nb = 2, 15, 18
+        fa = rng.randn(b, na, 6).astype(np.float32)
+        fb = rng.randn(b, nb, 6).astype(np.float32)
+        xa = rng.rand(b, na, 3).astype(np.float32)
+        xb = rng.rand(b, nb, 3).astype(np.float32)
+        r_p, r_n, ls, pm, nm = 0.25, 0.5, 10.0, 0.1, 1.4
+
+        got = float(circle_loss(
+            jnp.asarray(fa), jnp.asarray(fb), jnp.asarray(xa),
+            jnp.asarray(xb), jnp.ones((b, na), bool), jnp.ones((b, nb), bool),
+            r_p, r_n, log_scale=ls, pos_margin=pm, neg_margin=nm,
+        ))
+
+        coords = np.sqrt(
+            np.sum((xa[:, :, None] - xb[:, None, :]) ** 2, -1) + 1e-12)
+        fd = np.sqrt(
+            np.sum((fa[:, :, None] - fb[:, None, :]) ** 2, -1) + 1e-12)
+        pos_mask = coords < r_p
+        neg_mask = coords > r_n
+        row_sel = pos_mask.any(-1) & neg_mask.any(-1)
+        col_sel = pos_mask.any(-2) & neg_mask.any(-2)
+        pos = fd - 1e5 * (~pos_mask)
+        pos_w = np.maximum(pos - pm, 0)
+        neg = fd + 1e5 * (~neg_mask)
+        neg_w = np.maximum(nm - neg, 0)
+        lr = np.log1p(np.exp(
+            np_lse(ls * (pos - pm) * pos_w, axis=-1)
+            + np_lse(ls * (nm - neg) * neg_w, axis=-1))) / ls
+        lc = np.log1p(np.exp(
+            np_lse(ls * (pos - pm) * pos_w, axis=-2)
+            + np_lse(ls * (nm - neg) * neg_w, axis=-2))) / ls
+        want = (lr[row_sel].mean() + lc[col_sel].mean()) / 2
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestSampledCircleLoss:
+    """Sampled variant (reference CircleLoss, feature_loss.py:52-157 — note
+    its forward calls an undefined `radius_search` and is dead code there;
+    ours is a working implementation of the documented intent)."""
+
+    def _data(self, seed=0, b=2, na=40, nb=44):
+        rng = np.random.RandomState(seed)
+        xa = rng.rand(b, na, 3).astype(np.float32)
+        # ensure plenty of correspondences: xb starts as perturbed xa
+        xb = np.concatenate([
+            xa + rng.randn(b, na, 3).astype(np.float32) * 0.01,
+            rng.rand(b, nb - na, 3).astype(np.float32) + 2.0,
+        ], axis=1)
+        fa = rng.randn(b, na, 8).astype(np.float32)
+        fb = rng.randn(b, nb, 8).astype(np.float32)
+        ma = np.ones((b, na), bool)
+        mb = np.ones((b, nb), bool)
+        ma[1, na - 5:] = False
+        return fa, fb, xa, xb, ma, mb
+
+    def test_samples_are_valid_correspondences(self):
+        _, _, xa, xb, ma, mb = self._data()
+        r_p = 0.125
+        ia, ib, valid = sample_correspondences(
+            jax.random.PRNGKey(0), jnp.asarray(xa), jnp.asarray(xb),
+            jnp.asarray(ma), jnp.asarray(mb), r_p, 64,
+        )
+        ia, ib, valid = map(np.asarray, (ia, ib, valid))
+        assert valid.all()
+        for b in range(xa.shape[0]):
+            d = np.linalg.norm(xa[b, ia[b]] - xb[b, ib[b]], axis=-1)
+            assert np.all(d < r_p - 1e-3)
+            assert ma[b, ia[b]].all() and mb[b, ib[b]].all()
+
+    def test_without_replacement_when_enough(self):
+        _, _, xa, xb, ma, mb = self._data()
+        ia, ib, _ = sample_correspondences(
+            jax.random.PRNGKey(1), jnp.asarray(xa), jnp.asarray(xb),
+            jnp.asarray(ma), jnp.asarray(mb), 0.125, 16,
+        )
+        flat = np.asarray(ia) * xb.shape[1] + np.asarray(ib)
+        for b in range(xa.shape[0]):
+            assert len(np.unique(flat[b])) == 16
+
+    def test_no_candidates_gives_zero(self):
+        rng = np.random.RandomState(2)
+        xa = rng.rand(1, 10, 3).astype(np.float32)
+        xb = xa + 100.0  # nothing within r_p
+        fa = rng.randn(1, 10, 4).astype(np.float32)
+        m = np.ones((1, 10), bool)
+        out = float(circle_loss_sampled(
+            jnp.asarray(fa), jnp.asarray(fa), jnp.asarray(xa),
+            jnp.asarray(xb), jnp.asarray(m), jnp.asarray(m),
+            0.1, 0.2, key=jax.random.PRNGKey(0), n_sample=8,
+        ))
+        assert out == 0.0
+
+    def test_finite_deterministic_and_grads(self):
+        fa, fb, xa, xb, ma, mb = self._data(3)
+        args = (jnp.asarray(xa), jnp.asarray(xb),
+                jnp.asarray(ma), jnp.asarray(mb))
+
+        def f(feats):
+            return circle_loss_sampled(
+                feats, jnp.asarray(fb), *args, 0.125, 0.25,
+                key=jax.random.PRNGKey(5), n_sample=32,
+            )
+
+        v1, v2 = float(f(jnp.asarray(fa))), float(f(jnp.asarray(fa)))
+        assert np.isfinite(v1) and v1 > 0 and v1 == v2
+        g = jax.grad(f)(jnp.asarray(fa))
         assert np.all(np.isfinite(np.asarray(g)))
         assert float(jnp.abs(g).max()) > 0
 

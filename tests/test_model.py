@@ -224,6 +224,59 @@ class TestDecoderHeadVariant:
             c = corr[:, b][:, valid]
             assert np.all(c >= lo) and np.all(c <= hi), b
 
+    def test_decoder_topk_neighbor_masking(self):
+        """corr_decoder_num_neighbors=k restricts attention to the k
+        highest-scoring partner points (intent of reference
+        regtr.py:341-348).  k=1 must output exactly the argmax partner
+        point; k >= N must equal the unmasked decoder."""
+        from regtr_tpu.nn.heads import CorrespondenceDecoder
+
+        rng = np.random.RandomState(0)
+        L, b2, n, d = 2, 4, 12, 16
+        feats = jnp.asarray(rng.randn(L, b2, n, d).astype(np.float32))
+        xyz = jnp.asarray(rng.rand(b2, n, 3).astype(np.float32))
+        mask = np.ones((b2, n), bool)
+        mask[1, 9:] = False
+        mask = jnp.asarray(mask)
+
+        def run(k):
+            dec = CorrespondenceDecoder(d, use_pos_emb=False, num_neighbors=k)
+            variables = dec.init(
+                jax.random.PRNGKey(1), feats, xyz, None, mask
+            )
+            return dec.apply(variables, feats, xyz, None, mask)
+
+        corr_full, _ = run(0)
+        corr_big, _ = run(n + 5)
+        np.testing.assert_allclose(
+            np.asarray(corr_full), np.asarray(corr_big), rtol=1e-6
+        )
+
+        corr_k1, _ = run(1)
+        # with k=1 the softmax collapses to one partner point: every output
+        # must coincide with some (valid) partner coordinate
+        from regtr_tpu.core.pairs import swap_pairs
+        partner_xyz = np.asarray(swap_pairs(xyz))
+        partner_mask = np.asarray(swap_pairs(mask))
+        c = np.asarray(corr_k1)
+        for bi in range(b2):
+            cand = partner_xyz[bi][partner_mask[bi]]
+            dists = np.linalg.norm(
+                c[:, bi, :, None, :] - cand[None, None, :, :], axis=-1
+            ).min(-1)
+            np.testing.assert_allclose(dists, 0.0, atol=1e-5)
+
+        cfg_model = create_model(
+            tiny_config(direct_regress_coor=False,
+                        corr_decoder_num_neighbors=3), N0
+        )
+        variables = init_model_params(cfg_model, jax.random.PRNGKey(0))
+        batch = synthetic_batch()
+        out = cfg_model.apply(
+            {"params": variables["params"]}, batch["points"], batch["mask"]
+        )
+        assert np.all(np.isfinite(np.asarray(out["corr"])))
+
     def test_decoder_grads(self):
         model = create_model(
             tiny_config(direct_regress_coor=False), N0
@@ -243,6 +296,36 @@ class TestDecoderHeadVariant:
             bool(jnp.all(jnp.isfinite(x)))
             for x in jax.tree_util.tree_leaves(g)
         )
+
+
+def test_circle_sampled_feature_loss_path():
+    """feature_loss_type=circle_sampled trains end-to-end: finite loss,
+    finite grads, deterministic across calls (data-derived sampling key)."""
+    model = create_model(
+        tiny_config(feature_loss_type="circle_sampled",
+                    circle_n_sample=32, wt_feature=1.0), N0
+    )
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    batch = synthetic_batch()
+
+    def loss_fn(p):
+        losses, _ = model.apply(
+            {"params": p}, batch["points"], batch["mask"],
+            batch["pose"], batch["overlap0"], method=model.compute_loss,
+        )
+        return losses["total"], losses
+
+    (v1, losses), g = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    (v2, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(v1)) and float(v1) == float(v2)
+    assert np.isfinite(float(losses["feature_1"]))
+    assert all(
+        bool(jnp.all(jnp.isfinite(x))) for x in jax.tree_util.tree_leaves(g)
+    )
 
 
 def test_register_public_api():
