@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.masking import masked_instance_norm
-from ..ops.kpconv import kpconv_apply, kpconv_fused_gather, max_pool
+from ..ops.kpconv import (
+    kpconv_apply, kpconv_deformable, kpconv_fused_gather, max_pool,
+)
 from ..utils.kernel_points import load_kernel_points
 
 
@@ -84,6 +86,35 @@ class KPConvLayer(nn.Module):
     fixed: str = "center"
     kernel_seed: int = 0
     compute_dtype: Any = None
+    norm: str = "valid"     # "legacy" = reference's positive-feature-sum count
+    deformable: bool = False
+    modulated: bool = False
+    kernel_method: str = "lloyd"      # or "repulsion" (reference layout)
+    kernel_file: Optional[str] = None  # per-block dispositions npz override
+
+    def _kernel_points(self):
+        """Resolve this block's kernel disposition: explicit npz override
+        (exported from a torch checkpoint for bit-exact conversion), else
+        the deterministic generator."""
+        if self.kernel_file:
+            from ..utils.kernel_points import lookup_block_dispositions
+
+            try:
+                path = self.path
+            except Exception:
+                path = ()
+            idx = next(
+                (int(part.split("_")[1]) for part in path
+                 if str(part).startswith("block_")), None,
+            )
+            if idx is not None:
+                disp = lookup_block_dispositions(self.kernel_file, idx)
+                if disp is not None:
+                    return jnp.asarray(disp)   # stored pre-scaled by radius
+        return jnp.asarray(load_kernel_points(
+            self.radius, self.num_kernel_points, 3, self.fixed,
+            self.kernel_seed, self.kernel_method,
+        ))
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x, geom=None, x_extra=None):
@@ -107,23 +138,47 @@ class KPConvLayer(nn.Module):
             ) - bound,
             (p, self.in_dim, self.out_dim),
         )
-        if geom is not None:
-            infl, inv_n = geom
-            out = kpconv_apply(
-                infl, inv_n, neighb_inds, x, weights,
-                compute_dtype=self.compute_dtype,
+        if self.deformable:
+            # Deformable kernels are per-query, so the shared rigid geometry
+            # cannot be reused (kpconv_blocks.py:275-356).
+            kp = self._kernel_points()
+            offset_dim = (3 + int(self.modulated)) * p
+            off_bound = 1.0 / np.sqrt(p * self.in_dim)
+            offset_weights = self.param(
+                "offset_weights",
+                lambda key, shape: nn.initializers.uniform(
+                    scale=2 * off_bound)(key, shape) - off_bound,
+                (p, self.in_dim, offset_dim),
+            )
+            offset_bias = self.param(
+                "offset_bias", nn.initializers.zeros, (offset_dim,)
+            )
+            out = kpconv_deformable(
+                q_pts, s_pts, neighb_inds, x, kp, weights,
+                offset_weights, offset_bias, self.extent,
+                influence=self.influence, aggregation=self.aggregation,
+                modulated=self.modulated, compute_dtype=self.compute_dtype,
+                norm=self.norm,
             )
             pooled = (max_pool(x_extra, neighb_inds,
                                compute_dtype=self.compute_dtype)
                       if x_extra is not None else None)
             return out, pooled, None
-        kp = jnp.asarray(
-            load_kernel_points(self.radius, p, 3, self.fixed, self.kernel_seed)
-        )
+        if geom is not None:
+            infl, inv_n = geom
+            out = kpconv_apply(
+                infl, inv_n, neighb_inds, x, weights,
+                compute_dtype=self.compute_dtype, norm=self.norm,
+            )
+            pooled = (max_pool(x_extra, neighb_inds,
+                               compute_dtype=self.compute_dtype)
+                      if x_extra is not None else None)
+            return out, pooled, None
+        kp = self._kernel_points()
         return kpconv_fused_gather(
             q_pts, s_pts, neighb_inds, x, x_extra, kp, weights, self.extent,
             influence=self.influence, aggregation=self.aggregation,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, norm=self.norm,
         )
 
 
@@ -160,6 +215,11 @@ class SimpleBlock(nn.Module):
             fixed=cfg.get("fixed_kernel_points", "center"),
             kernel_seed=cfg.get("kernel_seed", 0),
             compute_dtype=_compute_dtype(cfg),
+            norm=cfg.get("kpconv_norm", "valid"),
+            deformable="deform" in self.block_name,
+            modulated=bool(cfg.get("modulated", False)),
+            kernel_method=cfg.get("kernel_point_method", "lloyd"),
+            kernel_file=cfg.get("kernel_dispositions_file"),
             name="kpconv",
         )(q_pts, lvl.points, neigh, x, geom=geom)
         out = NormBlock(self.out_dim // 2, cfg.get("use_batch_norm", True),
@@ -208,6 +268,11 @@ class ResnetBottleneckBlock(nn.Module):
             fixed=cfg.get("fixed_kernel_points", "center"),
             kernel_seed=cfg.get("kernel_seed", 0),
             compute_dtype=_compute_dtype(cfg),
+            norm=cfg.get("kpconv_norm", "valid"),
+            deformable="deform" in self.block_name,
+            modulated=bool(cfg.get("modulated", False)),
+            kernel_method=cfg.get("kernel_point_method", "lloyd"),
+            kernel_file=cfg.get("kernel_dispositions_file"),
             name="kpconv",
         )(q_pts, lvl.points, neigh, h, geom=geom,
           x_extra=x if strided else None)

@@ -15,9 +15,11 @@ so the MXU does the heavy lifting.
 
 Normalization note: the reference divides by the number of neighbors whose
 *feature sums* are positive (kpconv_blocks.py:409-412) — a quirk that equals
-the true neighbor count only at the first layer (all-ones features).  We
-normalize by the count of non-shadow neighbors, which is the mathematically
-intended behavior and is deterministic.
+the true neighbor count only at the first layer (all-ones features).  By
+default we normalize by the count of non-shadow neighbors (the mathematically
+intended behavior); `norm="legacy"` reproduces the reference quirk exactly,
+which converted reference checkpoints need for bit-faithful activations
+(config key: `kpconv_norm: legacy`).
 """
 from __future__ import annotations
 
@@ -161,6 +163,7 @@ def kpconv_apply(
     x,            # (B, Ns, Cin)
     weights,      # (P, Cin, Cout)
     compute_dtype=None,
+    norm: str = "valid",
 ):
     """Feature path of KPConv given precomputed geometry."""
     b, ns, cin = x.shape
@@ -195,13 +198,23 @@ def kpconv_apply(
     flat_inds = neighb_inds.reshape(b, nq * k)
     neighb_x = batched_row_gather(x_pad, flat_inds).reshape(b, nq, k, cin)
     return _apply_from_gathered(infl, inv_n_valid, neighb_x, weights,
-                                compute_dtype)
+                                compute_dtype, norm)
 
 
-def _apply_from_gathered(infl, inv_n_valid, neighb_x, weights, compute_dtype):
+def _apply_from_gathered(infl, inv_n_valid, neighb_x, weights, compute_dtype,
+                         norm: str = "valid"):
     """KPConv contraction given already-gathered neighbor features."""
     b, nq, k, cin = neighb_x.shape
     p = infl.shape[-1]
+    if norm == "legacy":
+        # Reference quirk (kpconv_blocks.py:409-412): count gathered rows
+        # whose channel sum is > 0 (shadow rows gathered zeros).
+        n = jnp.sum(
+            jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0, axis=-1
+        )
+        inv_n_valid = 1.0 / jnp.maximum(n, 1).astype(jnp.float32)
+    elif norm != "valid":
+        raise ValueError(f"unknown kpconv norm {norm}")
     if compute_dtype is not None:
         infl = infl.astype(compute_dtype)
         neighb_x = neighb_x.astype(compute_dtype)
@@ -223,7 +236,7 @@ def _apply_from_gathered(infl, inv_n_valid, neighb_x, weights, compute_dtype):
 def kpconv(
     q_pts, s_pts, neighb_inds, x, kernel_pts, weights,
     kp_extent: float, influence: str = "linear", aggregation: str = "sum",
-    compute_dtype=None,
+    compute_dtype=None, norm: str = "valid",
 ):
     """Batched KPConv (geometry + apply in one call). (B, Nq, Cout)."""
     infl, inv_n = kpconv_geometry(
@@ -231,7 +244,7 @@ def kpconv(
         influence, aggregation, compute_dtype=compute_dtype,
     )
     return kpconv_apply(
-        infl, inv_n, neighb_inds, x, weights, compute_dtype
+        infl, inv_n, neighb_inds, x, weights, compute_dtype, norm
     )
 
 
@@ -250,7 +263,7 @@ def _unpack_bf16_to_f32(h):
 def kpconv_fused_gather(
     q_pts, s_pts, neighb_inds, x, x_extra, kernel_pts, weights,
     kp_extent: float, influence: str = "linear", aggregation: str = "sum",
-    compute_dtype=None,
+    compute_dtype=None, norm: str = "valid",
 ):
     """KPConv that computes its own geometry via ONE merged gather.
 
@@ -310,13 +323,125 @@ def kpconv_fused_gather(
         rel, neighb_inds, ns, kernel_pts, kp_extent,
         influence, aggregation, compute_dtype,
     )
-    out = _apply_from_gathered(infl, inv_n, neighb_x, weights, compute_dtype)
+    out = _apply_from_gathered(infl, inv_n, neighb_x, weights, compute_dtype,
+                               norm)
 
     pooled = None
     if x_extra is not None:
         # Shadow rows gathered zeros, matching max_pool's zero pad row.
         pooled = jnp.max(g[..., cin:cin + ce], axis=2)
     return out, pooled, (infl, inv_n)
+
+
+def kpconv_deformable(
+    q_pts, s_pts, neighb_inds, x, kernel_pts, weights,
+    offset_weights, offset_bias, kp_extent: float,
+    influence: str = "linear", aggregation: str = "sum",
+    modulated: bool = False, compute_dtype=None, norm: str = "valid",
+):
+    """Deformable (and optionally modulated) KPConv.
+
+    Equivalent of the deformable branch at /root/reference/src/models/
+    backbone_kpconv/kpconv_blocks.py:275-356: a rigid KPConv predicts
+    per-query kernel-point offsets (scaled by the extent), the main
+    convolution then measures neighbor distances against the *deformed*
+    kernel points; `modulated` additionally predicts a per-kernel-point
+    gain of 2*sigmoid(.).  The reference's in-range neighbor pruning
+    (:329-356) is a dynamic-shape compute optimization, not a semantic one
+    (out-of-range neighbors have zero linear influence) — it is omitted
+    here because dynamic shapes defeat XLA; the dense masked form costs one
+    more (B,Nq,K,P) contraction, which the MXU absorbs.
+
+    Args:
+        offset_weights: (P, Cin, P*3 [+P if modulated]) rigid-conv weights
+            for the offset prediction.
+        offset_bias: (P*3 [+P],) bias added to the offset features.
+
+    Returns (B, Nq, Cout).
+    """
+    b, ns, _ = s_pts.shape
+    _, nq, k = neighb_inds.shape
+    p = kernel_pts.shape[0]
+
+    # Offsets via a rigid KPConv over the same neighborhood (:296-298).
+    off = kpconv(
+        q_pts, s_pts, neighb_inds, x, kernel_pts, offset_weights,
+        kp_extent, influence, aggregation, compute_dtype=compute_dtype,
+        norm=norm,
+    ) + offset_bias
+    unscaled = off[..., : 3 * p].reshape(b, nq, p, 3)
+    offsets = unscaled.astype(jnp.float32) * kp_extent
+    modulations = None
+    if modulated:
+        modulations = 2.0 * jax.nn.sigmoid(off[..., 3 * p:])   # (B,Nq,P)
+    deformed_kp = kernel_pts[None, None] + offsets             # (B,Nq,P,3)
+
+    # Neighbor offsets relative to each query (shadow rows at 1e6).
+    s_pts_pad = jnp.concatenate(
+        [s_pts, jnp.full((b, 1, 3), SHADOW_COORD, s_pts.dtype)], axis=1
+    )
+    flat_inds = neighb_inds.reshape(b, nq * k)
+    neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
+    rel = neighbors - q_pts[:, :, None, :]
+
+    if compute_dtype is not None:
+        rel = rel.astype(compute_dtype)
+        deformed_kp = deformed_kp.astype(compute_dtype)
+    rel_sq = jnp.sum(rel * rel, axis=-1)                       # (B,Nq,K)
+    dots = jnp.einsum(
+        "bqkc,bqpc->bqkp", rel, deformed_kp,
+        preferred_element_type=rel.dtype,
+    )
+    kp_sq = jnp.sum(deformed_kp * deformed_kp, axis=-1)        # (B,Nq,P)
+    sq_d = jnp.maximum(
+        rel_sq[..., None] - 2.0 * dots + kp_sq[:, :, None, :], 0.0
+    )
+
+    if influence == "linear":
+        infl = jnp.maximum(1.0 - jnp.sqrt(sq_d) / kp_extent, 0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        infl = jnp.exp(-sq_d / (2.0 * sigma * sigma + 1e-9))
+    elif influence == "constant":
+        infl = jnp.ones_like(sq_d)
+    else:
+        raise ValueError(f"unknown influence {influence}")
+    if aggregation == "closest":
+        closest = jnp.argmin(sq_d, axis=-1)
+        infl = infl * jax.nn.one_hot(closest, p, dtype=infl.dtype)
+    elif aggregation != "sum":
+        raise ValueError(f"unknown aggregation {aggregation}")
+
+    n_valid = jnp.sum(neighb_inds < ns, axis=-1)
+    inv_n = 1.0 / jnp.maximum(n_valid, 1).astype(jnp.float32)
+
+    cin = x.shape[-1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    x_pad = jnp.concatenate([x, jnp.zeros((b, 1, cin), x.dtype)], axis=1)
+    neighb_x = batched_row_gather(x_pad, flat_inds).reshape(b, nq, k, cin)
+    if norm == "legacy":
+        n = jnp.sum(
+            jnp.sum(neighb_x.astype(jnp.float32), axis=-1) > 0.0, axis=-1
+        )
+        inv_n = 1.0 / jnp.maximum(n, 1).astype(jnp.float32)
+
+    if compute_dtype is not None:
+        infl = infl.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    weighted = jnp.einsum(
+        "bqkp,bqkc->bqpc", infl, neighb_x,
+        preferred_element_type=jnp.float32,
+    )
+    if modulations is not None:
+        weighted = weighted * modulations[..., None].astype(weighted.dtype)
+    out = jnp.einsum(
+        "bqz,zo->bqo",
+        weighted.reshape(b, nq, p * cin),
+        weights.reshape(p * cin, -1),
+        preferred_element_type=jnp.float32,
+    )
+    return out * inv_n[..., None].astype(out.dtype)
 
 
 def max_pool(x, pool_inds, compute_dtype=None):

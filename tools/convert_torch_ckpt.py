@@ -53,6 +53,12 @@ def convert_state_dict(sd: dict, cfg) -> dict:
     for i, (name, _in, _out, _r, _li) in enumerate(plan):
         src = f"kpf_encoder.encoder_blocks.{i}"
         dst = f"block_{i}_{name}"
+        if f"{src}.KPConv.offset_conv.weights" in sd:
+            # deformable branch (kpconv_blocks.py:275-356)
+            put(["kpf_encoder", dst, "kpconv", "offset_weights"],
+                get(f"{src}.KPConv.offset_conv.weights"))
+            put(["kpf_encoder", dst, "kpconv", "offset_bias"],
+                get(f"{src}.KPConv.offset_bias"))
         if "simple" in name:
             put(["kpf_encoder", dst, "kpconv", "weights"],
                 get(f"{src}.KPConv.weights"))
