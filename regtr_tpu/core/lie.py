@@ -147,6 +147,74 @@ class SE3:
                                    trans.astype(np.float32)))
 
     @staticmethod
+    def pexp(xi):
+        """Pseudo-exponential: rotation via exp, translation kept verbatim
+        (reference cvhelpers/lie/torch/se3.py:114-135).  xi: (..., 6) as
+        (omega, v) — NOTE the reference orders its twist (v, omega)."""
+        xi = np.asarray(xi, np.float32)
+        omega, v = xi[..., :3], xi[..., 3:]
+        rot = se3_np.so3_exp(omega)
+        return SE3(se3_np.se3_init(rot.astype(np.float32),
+                                   v.astype(np.float32)))
+
+    # -- analytic jacobians ---------------------------------------------------
+    # Layout: rows = column-major flatten of the 3x4 matrix [c1 c2 c3 t]
+    # (12 rows); columns = twist increment eps in OUR (omega, v) order —
+    # cols 0:3 rotation, 3:6 translation.  The reference
+    # (cvhelpers/lie/torch/se3.py:183-278) uses (v, omega) column order;
+    # the blocks are identical up to that column swap.  All are validated
+    # against finite differences of SE3.exp in tests/test_lie.py.
+
+    @staticmethod
+    def jacob_expeD_de(poseD: "SE3"):
+        """d(exp(eps) * D) / d eps at eps = 0.  Returns (..., 12, 6)."""
+        m = poseD.data
+        jac = np.zeros(m.shape[:-2] + (12, 6), np.float32)
+        for col in range(4):
+            jac[..., 3 * col: 3 * col + 3, 0:3] = \
+                -se3_np.so3_hat(m[..., :3, col])
+        jac[..., 9, 3] = 1.0
+        jac[..., 10, 4] = 1.0
+        jac[..., 11, 5] = 1.0
+        return jac
+
+    @staticmethod
+    def jacob_Dexpe_de(poseD: "SE3"):
+        """d(D * exp(eps)) / d eps at eps = 0.  Returns (..., 12, 6)."""
+        m = poseD.data
+        c1, c2, c3 = m[..., :3, 0], m[..., :3, 1], m[..., :3, 2]
+        jac = np.zeros(m.shape[:-2] + (12, 6), np.float32)
+        jac[..., 9:12, 3:6] = m[..., :3, :3]
+        jac[..., 0:3, 1] = -c3
+        jac[..., 0:3, 2] = c2
+        jac[..., 3:6, 0] = c3
+        jac[..., 3:6, 2] = -c1
+        jac[..., 6:9, 0] = -c2
+        jac[..., 6:9, 1] = c1
+        return jac
+
+    @staticmethod
+    def jacob_dAexpeD_de(poseA: "SE3", poseD: "SE3",
+                         full_matrix: bool = True):
+        """d(A * exp(eps) * D) / d eps at eps = 0.
+
+        full_matrix=True: (..., 12, 6).  Otherwise the five non-zero 3x3
+        blocks stacked to (..., 15, 3) in the order (A, B, C, D, E) of the
+        reference (se3.py:234-278)."""
+        mA, mD = poseA.data, poseD.data
+        rotA = mA[..., :3, :3]
+        blocks = [rotA] + [
+            -rotA @ se3_np.so3_hat(mD[..., :3, col]) for col in range(4)
+        ]
+        if not full_matrix:
+            return np.concatenate(blocks, axis=-2)
+        jac = np.zeros(mA.shape[:-2] + (12, 6), np.float32)
+        jac[..., 9:12, 3:6] = blocks[0]
+        for col in range(4):
+            jac[..., 3 * col: 3 * col + 3, 0:3] = blocks[col + 1]
+        return jac
+
+    @staticmethod
     def sample_small(std: float = 0.1, rng=None):
         state = rng if isinstance(rng, np.random.RandomState) else \
             np.random.RandomState(np.random.randint(2 ** 31))

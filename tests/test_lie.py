@@ -60,3 +60,68 @@ def test_4x4():
     m = t.as_matrix_4x4()
     assert m.shape == (4, 4)
     np.testing.assert_allclose(m[3], [0, 0, 0, 1])
+
+
+class TestAnalyticJacobians:
+    """pexp + the three SE3 jacobians (reference cvhelpers/lie/torch/
+    se3.py:114-278), validated against finite differences of our exp.
+    Layout: rows = column-major flatten of the 3x4 matrix; eps = (omega, v).
+    """
+
+    @staticmethod
+    def _flat_cm(mat34):
+        return np.asarray(mat34).T.reshape(-1)  # columns stacked
+
+    def _fd_jac(self, f, eps=1e-3):
+        # SE3 stores float32; eps balances truncation O(eps^2) against fp32
+        # rounding O(1e-7/eps) — both ~1e-4 at 1e-3.
+        cols = []
+        for i in range(6):
+            d = np.zeros(6, np.float32)
+            d[i] = eps
+            cols.append((f(d) - f(-d)) / (2 * eps))
+        return np.stack(cols, axis=-1)  # (12, 6)
+
+    def test_pexp(self):
+        xi = np.array([0.3, -0.2, 0.5, 1.0, -2.0, 0.5], np.float32)
+        out = SE3.pexp(xi)
+        np.testing.assert_allclose(out.trans, xi[3:], atol=1e-7)
+        np.testing.assert_allclose(
+            out.rot.as_matrix(), SO3.exp(xi[:3]).as_matrix(), atol=1e-6
+        )
+
+    def test_jacob_expeD_de(self):
+        rng = np.random.RandomState(0)
+        D = SE3.sample_uniform(rng=rng)
+        want = self._fd_jac(
+            lambda e: self._flat_cm((SE3.exp(e) * D).data)
+        )
+        got = SE3.jacob_expeD_de(D)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_jacob_Dexpe_de(self):
+        rng = np.random.RandomState(1)
+        D = SE3.sample_uniform(rng=rng)
+        want = self._fd_jac(
+            lambda e: self._flat_cm((D * SE3.exp(e)).data)
+        )
+        got = SE3.jacob_Dexpe_de(D)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+
+    def test_jacob_dAexpeD_de(self):
+        rng = np.random.RandomState(2)
+        A = SE3.sample_uniform(rng=rng)
+        D = SE3.sample_uniform(rng=rng)
+        want = self._fd_jac(
+            lambda e: self._flat_cm((A * SE3.exp(e) * D).data)
+        )
+        got = SE3.jacob_dAexpeD_de(A, D)
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        # compact block form carries the same five non-zero blocks
+        compact = SE3.jacob_dAexpeD_de(A, D, full_matrix=False)
+        np.testing.assert_allclose(compact[:3], got[9:12, 3:6], atol=1e-6)
+        for col in range(4):
+            np.testing.assert_allclose(
+                compact[3 * (col + 1): 3 * (col + 2)],
+                got[3 * col: 3 * col + 3, 0:3], atol=1e-6,
+            )
