@@ -71,17 +71,29 @@ def _fptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+def _grid_subsample_numpy(points: np.ndarray, cell: float) -> np.ndarray:
+    """Pure-numpy fallback with the same contract as the native kernel:
+    voxel-grid barycenters, output sorted by voxel key (semantics of
+    /root/reference .../grid_subsampling.cpp:50-103)."""
+    origin = np.floor(points.min(axis=0) / cell) * cell
+    ijk = np.floor((points - origin) / cell).astype(np.int64)
+    key = ijk[:, 0] + (ijk[:, 1] << 10) + (ijk[:, 2] << 20)
+    order = np.argsort(key, kind="stable")
+    uniq, inverse = np.unique(key[order], return_inverse=True)
+    acc = np.zeros((len(uniq), 3), np.float64)
+    cnt = np.zeros(len(uniq), np.float64)
+    np.add.at(acc, inverse, points[order])
+    np.add.at(cnt, inverse, 1.0)
+    return (acc / cnt[:, None]).astype(np.float32)
+
+
 def grid_subsample(points: np.ndarray, cell: float) -> np.ndarray:
     """(N, 3) float32 -> (M, 3) barycenters, sorted by voxel key."""
     lib = _load()
     points = np.ascontiguousarray(points, np.float32)
     n = len(points)
     if lib is None:
-        import sys
-        sys.path.insert(0, str(Path(__file__).parents[1] / "tests"))
-        from oracles import grid_subsample_oracle
-
-        return grid_subsample_oracle(points, cell)
+        return _grid_subsample_numpy(points, cell)
     out = np.empty((n, 3), np.float32)
     m = lib.rn_grid_subsample(_fptr(points), n, cell, _fptr(out), n)
     return out[:m].copy()
