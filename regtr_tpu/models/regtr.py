@@ -62,7 +62,11 @@ class RegTR(nn.Module):
             sa_val_has_pos_emb=cfg.get("sa_val_has_pos_emb", True),
             ca_val_has_pos_emb=cfg.get("ca_val_has_pos_emb", True),
             attn_impl=cfg.get("attention_impl", "auto"),
-            remat=cfg.get("remat", True),
+            # Coarse-level activations are small (≈2k pts × d_embed), so
+            # rematerializing the transformer buys little memory while
+            # paying full recompute in backward; default it off
+            # independently of the backbone remat.
+            remat=cfg.get("remat_transformer", False),
             name="transformer_encoder",
         )
         if cfg.get("direct_regress_coor", False):

@@ -197,3 +197,39 @@ def test_merge_est_log_dirs(tmp_path):
     )
     assert (merged / "sceneA" / "est.log").read_text() == "a0\na1\n"
     assert (merged / "sceneB" / "est.log").read_text() == "b0\n"
+
+
+def test_eval_step_per_pair_histograms(tmp_path):
+    """Eval step returns per-pair 'hist/' errors; MetricsWriter emits
+    quantile summaries (reference generic_reg_model.py:119-123)."""
+    import json
+
+    from regtr_tpu.models import create_model, init_model_params
+    from regtr_tpu.presets import tiny_config
+    from regtr_tpu.train.logging_utils import MetricsWriter
+    from regtr_tpu.train.steps import make_eval_step
+
+    n0, pairs = 96, 2
+    cfg = tiny_config()
+    model = create_model(cfg, n0)
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    r = np.random.RandomState(0)
+    batch = {
+        "points": jnp.asarray(r.rand(2 * pairs, n0, 3).astype(np.float32)),
+        "mask": jnp.ones((2 * pairs, n0), bool),
+        "pose": jnp.broadcast_to(jnp.eye(3, 4), (pairs, 3, 4)),
+        "overlap0": jnp.ones((2 * pairs, n0), jnp.float32),
+    }
+    metrics = make_eval_step(model)(variables["params"], batch)
+    assert metrics["hist/rot_err_deg"].shape == (pairs,)
+    assert metrics["hist/trans_err"].shape == (pairs,)
+
+    w = MetricsWriter(tmp_path, "val")
+    w.write_histogram(7, "hist/rot_err_deg",
+                      np.asarray(metrics["hist/rot_err_deg"]))
+    w.close()
+    recs = [json.loads(line) for line in
+            open(tmp_path / "metrics_val.jsonl")]
+    assert recs[-1]["tag"] == "hist/rot_err_deg"
+    assert recs[-1]["count"] == pairs
+    assert np.isfinite(recs[-1]["p90"])

@@ -49,6 +49,8 @@ def main():
     ov = np.ones((2 * n_pairs, n0), np.float32)
 
     cfg = threedmatch_config(compute_dtype=dtype)
+    if len(sys.argv) > 4:
+        cfg['remat'] = sys.argv[4] != 'noremat'
     model = create_model(cfg, n0)
     dev = jax.devices()[0]
     cpu = jax.local_devices(backend="cpu")[0]
