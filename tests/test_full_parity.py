@@ -227,6 +227,32 @@ class TorchCorrRegressor(torch.nn.Module):
         self.conf_logits_decoder = torch.nn.Linear(d, 1)
 
 
+class TorchCorrDecoder(torch.nn.Module):
+    """Mirror of the reference CorrespondenceDecoder's math
+    (regtr.py:297-351: q/k projections only, value = raw partner xyz) with
+    identical state_dict naming.  q_norm exists in the reference ctor but is
+    never applied in its forward — kept for state_dict shape parity."""
+
+    def __init__(self, d):
+        super().__init__()
+        self.q_norm = torch.nn.LayerNorm(d)
+        self.q_proj = torch.nn.Linear(d, d)
+        self.k_proj = torch.nn.Linear(d, d)
+        self.conf_logits_decoder = torch.nn.Linear(d, 1)
+
+    def attend(self, query_feats, key_feats, value_xyz, key_mask):
+        """query/key feats: (L, N, D) with pos-emb added; value (Nk, 3);
+        key_mask: (Nk,) bool True=masked.  B=1 collapsed."""
+        import math
+
+        q = self.q_proj(query_feats) / math.sqrt(query_feats.shape[-1])
+        k = self.k_proj(key_feats)
+        attn = torch.einsum("lqd,lsd->lqs", q, k)
+        attn = attn.masked_fill(key_mask[None, None, :], float("-inf"))
+        attn = torch.softmax(attn, dim=-1)
+        return torch.einsum("lqs,sc->lqc", attn, value_xyz)
+
+
 def build_torch_shell(cfg, ref):
     """Assemble the reference's submodules under the reference RegTR's
     attribute names (regtr.py:26-73) so state_dict() matches the converter's
@@ -254,7 +280,10 @@ def build_torch_shell(cfg, ref):
             self.transformer_encoder = ref.tr.TransformerCrossEncoder(
                 layer, cfg.num_encoder_layers, norm, return_intermediate=True
             )
-            self.correspondence_decoder = TorchCorrRegressor(cfg.d_embed)
+            if cfg.get("direct_regress_coor", False):
+                self.correspondence_decoder = TorchCorrRegressor(cfg.d_embed)
+            else:
+                self.correspondence_decoder = TorchCorrDecoder(cfg.d_embed)
 
     torch.manual_seed(0)
     shell = Shell().eval()
@@ -303,10 +332,25 @@ def torch_forward(shell, ref, cfg, meta):
             src_pos=src_pe_p, tgt_pos=tgt_pe_p,
         )  # each (L, N_pad, 1, D)
 
-        src_corr = shell.correspondence_decoder.coor_mlp(src_cond)
-        tgt_corr = shell.correspondence_decoder.coor_mlp(tgt_cond)
-        src_ov = shell.correspondence_decoder.conf_logits_decoder(src_cond)
-        tgt_ov = shell.correspondence_decoder.conf_logits_decoder(tgt_cond)
+        head = shell.correspondence_decoder
+        if cfg.get("direct_regress_coor", False):
+            src_corr = head.coor_mlp(src_cond)
+            tgt_corr = head.coor_mlp(tgt_cond)
+        else:
+            # reference decoder path (regtr.py:383-394): q/k over
+            # pos-embedded conditioned feats, value = raw partner xyz
+            src_f2 = (src_cond + src_pe_p[None])[:, :, 0, :]
+            tgt_f2 = (tgt_cond + tgt_pe_p[None])[:, :, 0, :]
+            no_mask_src = torch.zeros(src_f2.shape[1], dtype=torch.bool)
+            no_mask_tgt = torch.zeros(tgt_f2.shape[1], dtype=torch.bool)
+            src_corr = head.attend(
+                src_f2, tgt_f2, tgt_xyz_c[0], no_mask_tgt
+            )[:, :, None, :]
+            tgt_corr = head.attend(
+                tgt_f2, src_f2, src_xyz_c[0], no_mask_src
+            )[:, :, None, :]
+        src_ov = head.conf_logits_decoder(src_cond)
+        tgt_ov = head.conf_logits_decoder(tgt_cond)
 
         num_pred = src_cond.shape[0]
         sc = src_corr[:, :, 0, :]            # (L, Ns, 3)   B=1
@@ -344,9 +388,7 @@ def merge_params(init, conv):
     return out
 
 
-class TestFullModelParity:
-    def test_forward_activations_match(self, ref):
-        cfg = make_cfg()
+def _run_parity(ref, cfg):
         src, tgt = make_clouds()
         n0 = 256
         pts, mask, levels = build_our_levels(cfg, src, tgt, n0)
@@ -422,6 +464,19 @@ class TestFullModelParity:
         np.testing.assert_allclose(
             pose, want["pose"], rtol=1e-3, atol=1e-3, err_msg="pose",
         )
+
+
+class TestFullModelParity:
+    def test_forward_activations_match(self, ref):
+        """Config-default head (MLP regressor, direct_regress_coor=True)."""
+        _run_parity(ref, make_cfg())
+
+    def test_forward_activations_match_attention_decoder(self, ref):
+        """Attention-decoder head variant (direct_regress_coor=False,
+        regtr.py:297-396) — covers the converter's q_proj/k_proj branch."""
+        cfg = make_cfg()
+        cfg["direct_regress_coor"] = False
+        _run_parity(ref, cfg)
 
     def test_legacy_norm_differs_from_valid(self, ref):
         """Sanity: the legacy normalization option actually changes deep
