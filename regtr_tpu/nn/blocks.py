@@ -12,7 +12,7 @@ use_batch_norm False it degrades to a learned bias.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ per-point overlap logits (L, 2B, N, 1).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,11 @@ Three implementations, selected by `method` in radius_neighbors_batch:
   * 'brute' (default): query-slab distance matrices on the MXU +
     jax.lax.approx_min_k — measured ~40x faster than index-gather designs
     on v5e (HBM gathers are latency-bound; matmuls are nearly free);
-  * 'grid': grid-bucket candidate search (sort + scatter cell tables);
+  * 'grid': grid-bucket candidate search (sort + scatter cell tables).
+    Loses to 'brute' at every measured scale (v5e: 328 vs 21 ms at the
+    L2 pyramid level) and its cell tables exceed TPU memory at full
+    3DMatch scale — kept as a CPU-scale alternative, not a production
+    path;
   * 'scan': streaming exact top-k merge — the oracle path for tests.
 """
 from __future__ import annotations

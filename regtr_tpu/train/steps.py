@@ -6,8 +6,7 @@ with one donated, optionally mesh-sharded XLA program per step.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
