@@ -76,24 +76,56 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def _slash_key(keypath) -> str:
+    """'a/b/c' interchange key for a tree keypath — the same format
+    tools/convert_torch_ckpt.py writes."""
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+    )
+
+
 def save_params_npz(path, params):
-    """Flat .npz export of a param pytree (interchange / inspection)."""
+    """Flat .npz export of a param pytree, keys 'a/b/c' (the interchange
+    format shared with tools/convert_torch_ckpt.py)."""
     flat = {
-        jax.tree_util.keystr(keypath): np.asarray(leaf)
+        _slash_key(keypath): np.asarray(leaf)
         for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
     }
     np.savez(path, **flat)
 
 
 def load_params_npz(path, params_template):
-    """Load a flat .npz back into the structure of params_template."""
+    """Load a flat .npz back into the structure of params_template.
+
+    Accepts 'a/b/c' keys (save_params_npz / the torch converter) and the
+    legacy jax keystr format.  Entries missing from the archive keep the
+    template's value (converted checkpoints may legitimately omit params the
+    torch model lacks, e.g. loss-criterion weights) — a warning reports how
+    many.
+    """
+    import logging
+
     data = np.load(path)
-    leaves, treedef = jax.tree_util.tree_flatten_with_path(params_template)
-    out = []
+    leaves, _ = jax.tree_util.tree_flatten_with_path(params_template)
+    out, missing = [], []
     for keypath, leaf in leaves:
-        arr = data[jax.tree_util.keystr(keypath)]
-        assert arr.shape == leaf.shape, (keypath, arr.shape, leaf.shape)
-        out.append(arr.astype(leaf.dtype))
+        key = _slash_key(keypath)
+        if key not in data.files:
+            key = jax.tree_util.keystr(keypath)
+        if key in data.files:
+            arr = data[key]
+            assert arr.shape == tuple(leaf.shape), \
+                (keypath, arr.shape, leaf.shape)
+            out.append(arr.astype(leaf.dtype))
+        else:
+            missing.append(_slash_key(keypath))
+            out.append(np.asarray(leaf))
+    if missing:
+        logging.getLogger("regtr_tpu").warning(
+            "%d params not in %s (kept init values): %s%s",
+            len(missing), path, ", ".join(missing[:5]),
+            "..." if len(missing) > 5 else "",
+        )
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(
             jax.tree_util.tree_map(lambda x: 0, params_template)

@@ -137,3 +137,51 @@ def test_converted_params_run():
     mask = jnp.ones((2, 96), bool)
     out = model.apply({"params": params}, pts, mask)
     assert np.all(np.isfinite(np.asarray(out["pose"])))
+
+
+def test_converted_npz_loads_via_cli_path(tmp_path):
+    """The converter's .npz output loads through load_params_npz (the
+    test.py/demo.py --params flow) and the model runs with it.  Missing
+    entries (params the torch model lacks) keep init values."""
+    import jax.numpy as jnp
+
+    from regtr_tpu.train.checkpoints import load_params_npz, save_params_npz
+
+    cfg = tiny_config()
+    sd = synth_reference_state_dict(cfg)
+    converted = convert_state_dict(sd, cfg)
+
+    # write exactly like tools/convert_torch_ckpt.py main()
+    flat = {}
+
+    def flatten(node, prefix):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                flatten(v, prefix + (k,))
+            else:
+                flat["/".join(prefix + (k,))] = v
+
+    flatten(converted, ())
+    npz = tmp_path / "conv.npz"
+    np.savez(npz, **flat)
+
+    model = create_model(cfg, 96)
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    params = load_params_npz(npz, variables["params"])
+
+    # loaded tensors replaced init values
+    got = np.asarray(params["feat_proj"]["kernel"])
+    np.testing.assert_array_equal(got, converted["feat_proj"]["kernel"])
+
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.rand(2, 96, 3).astype(np.float32) - 0.5)
+    out = model.apply({"params": params}, pts, jnp.ones((2, 96), bool))
+    assert np.all(np.isfinite(np.asarray(out["pose"])))
+
+    # save/load roundtrip in the same format
+    rt = tmp_path / "rt.npz"
+    save_params_npz(rt, params)
+    back = load_params_npz(rt, variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
