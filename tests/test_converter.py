@@ -185,3 +185,38 @@ def test_converted_npz_loads_via_cli_path(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_params_npz_tool(tmp_path):
+    """tools/export_params_npz.py: orbax ckpt -> flat npz -> --params load."""
+    import shutil
+
+    import yaml
+
+    from export_params_npz import main as export_main
+    from regtr_tpu.train.checkpoints import CheckpointManager, load_params_npz
+    from regtr_tpu.train.optim import make_optimizer
+    from regtr_tpu.train.steps import TrainState
+
+    cfg = tiny_config()
+    model = create_model(cfg, 96)
+    variables = init_model_params(model, jax.random.PRNGKey(0))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(cfg),
+    )
+    ckpt_dir = tmp_path / "ckpts"
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save(3, state, score=0.5)
+    mgr.close()
+    with open(tmp_path / "config.yaml", "w") as f:
+        yaml.safe_dump({"flat": dict(cfg)}, f)
+
+    out = tmp_path / "exported.npz"
+    export_main([str(ckpt_dir), "--config", str(tmp_path / "config.yaml"),
+                 "--out", str(out)])
+    params = load_params_npz(out, variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    del shutil
