@@ -100,10 +100,27 @@ class Trainer:
         epoch = 0
         t_last = time.time()
         done = False
+        consecutive_failures = 0
         while not done:
             train_loader.set_epoch(epoch)
             for batch, _meta in train_loader:
-                state, metrics = train_step(state, self._put(batch))
+                # Per-step resilience (reference trainer.py:137-141): a bad
+                # batch must not kill an unattended run.  Device-side NaNs
+                # are handled in-graph (steps.py apply_fn); this guards
+                # host-side surprises (loader/transfer errors).  Persistent
+                # failure still raises — silence would hide real breakage.
+                try:
+                    state, metrics = train_step(state, self._put(batch))
+                except Exception:
+                    consecutive_failures += 1
+                    self.logger.exception(
+                        "Train step %d failed (%d consecutive)",
+                        step + 1, consecutive_failures,
+                    )
+                    if consecutive_failures >= 5:
+                        raise
+                    continue
+                consecutive_failures = 0
                 step += 1
                 # Only sync metrics to host at summary boundaries: a per-step
                 # device->host conversion stalls the async dispatch pipeline

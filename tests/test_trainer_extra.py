@@ -233,3 +233,47 @@ def test_eval_step_per_pair_histograms(tmp_path):
     assert recs[-1]["tag"] == "hist/rot_err_deg"
     assert recs[-1]["count"] == pairs
     assert np.isfinite(recs[-1]["p90"])
+
+
+def test_trainer_survives_bad_batches(tmp_path):
+    """A raising batch is skipped and logged (reference trainer.py:137-141);
+    persistent failure still raises."""
+    from regtr_tpu.presets import tiny_config
+    from regtr_tpu.train.trainer import Trainer
+
+    n0 = 64
+    cfg = tiny_config(base_lr=1e-3, scheduler="none", niter=6,
+                      train_batch_size=1)
+
+    class FlakyLoader:
+        def __init__(self, fail_at=(2,)):
+            self.fail_at = set(fail_at)
+            self._epoch = 0
+
+        def set_epoch(self, e):
+            self._epoch = e
+
+        def __len__(self):
+            return 4
+
+        def __iter__(self):
+            r = np.random.RandomState(self._epoch)
+            for i in range(len(self)):
+                if i in self.fail_at and self._epoch == 0:
+                    yield "not-a-batch", {}   # _put/step will raise
+                    continue
+                yield {
+                    "points": r.rand(2, n0, 3).astype(np.float32),
+                    "mask": np.ones((2, n0), bool),
+                    "pose": np.broadcast_to(
+                        np.eye(3, 4, dtype=np.float32), (1, 3, 4)),
+                    "overlap0": np.ones((2, n0), np.float32),
+                }, {}
+
+    from regtr_tpu.models import create_model
+
+    trainer = Trainer(cfg, tmp_path, summary_every=100,
+                      validate_every=-1, nb_sanity_val_steps=0)
+    model = create_model(cfg, n0)
+    state, step = trainer.fit(model, FlakyLoader(), None, niter=6)
+    assert step == 6  # the bad batch was skipped, training completed
