@@ -140,6 +140,13 @@ class RegTR(nn.Module):
         src_ovl, tgt_ovl = split_pairs(overlap_logits[..., 0], axis=1)
         src_ov = jax.nn.sigmoid(src_ovl) * src_mask
         tgt_ov = jax.nn.sigmoid(tgt_ovl) * tgt_mask
+        # Optional hard threshold on the overlap weights before the pose
+        # solve — the reference documents this as a slight inference boost
+        # it leaves disabled (regtr.py:196-198); off by default here too.
+        thresh = float(cfg.get("overlap_threshold", 0.0))
+        if thresh > 0.0:
+            src_ov = jnp.where(src_ov > thresh, src_ov, 0.0)
+            tgt_ov = jnp.where(tgt_ov > thresh, tgt_ov, 0.0)
 
         num_pred = corr.shape[0]
         src_xyz_l = jnp.broadcast_to(src_xyz[None], (num_pred,) + src_xyz.shape)

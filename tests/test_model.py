@@ -345,3 +345,26 @@ def test_register_public_api():
     np.testing.assert_allclose(rot @ rot.T, np.eye(3), atol=1e-4)
     assert out["src_kp"].shape[1] == 3
     assert out["src_overlap"].min() >= 0 and out["src_overlap"].max() <= 1
+
+
+def test_overlap_threshold_option():
+    """overlap_threshold zeroes sub-threshold pose-solve weights (the
+    reference documents this inference option but ships it disabled,
+    regtr.py:196-198).  Thresholded weights change the pose unless all
+    weights already exceed the threshold."""
+    model_a = create_model(tiny_config(), N0)
+    variables = init_model_params(model_a, jax.random.PRNGKey(0))
+    batch = synthetic_batch()
+    out_a = model_a.apply(
+        {"params": variables["params"]}, batch["points"], batch["mask"]
+    )
+    model_b = create_model(tiny_config(overlap_threshold=0.5), N0)
+    out_b = model_b.apply(
+        {"params": variables["params"]}, batch["points"], batch["mask"]
+    )
+    assert np.all(np.isfinite(np.asarray(out_b["pose"])))
+    # random-init overlap probs straddle 0.5, so some weights were zeroed
+    # and the solved pose differs
+    assert np.abs(
+        np.asarray(out_a["pose"]) - np.asarray(out_b["pose"])
+    ).max() > 1e-6
