@@ -30,6 +30,13 @@ def _pairwise_min_sqdist(a, b):
     return out
 
 
+# Fixed key set of compute_metrics, so multi-host reductions can build
+# empty-shard placeholders without having computed any local metrics.
+METRIC_KEYS = (
+    "r_mse", "r_mae", "t_mse", "t_mae", "err_r_deg", "err_t", "chamfer_dist",
+)
+
+
 def compute_metrics(data: Dict, pred_transforms) -> Dict:
     """data: points_src/points_ref/points_raw (B, N, 3) + transform_gt
     (B, 3, 4); pred_transforms (B, 3, 4).  Returns per-pair metric arrays."""

@@ -47,4 +47,8 @@ def get_dataloader(cfg, phase: str, num_workers: int = 4, shard=None):
         seed=int(cfg.get("seed", 0)),
         drop_last=phase == "train",
         shard=shard,
+        # val runs collective mesh programs per batch -> all processes must
+        # see equal batch counts; test runs per-process local forwards and
+        # must NOT duplicate protocol samples (see prefetch.py).
+        shard_pad=phase == "val",
     )

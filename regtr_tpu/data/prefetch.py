@@ -7,7 +7,13 @@ thread-pool pipeline: sample loading/augmentation runs in worker threads
 bounded queue so host preprocessing overlaps device compute.
 
 Multi-host: pass shard=(process_index, process_count) to partition the
-sample index space per host.
+sample index space per host.  shard_pad=True additionally wraps short
+shards to the global maximum length so every process yields the SAME number
+of batches — required whenever the consuming loop runs collective SPMD
+programs (e.g. the mesh-sharded validation eval_step), where a process
+running one extra step would desynchronize the collectives and hang the
+job.  The few duplicated samples bias averaged metrics negligibly (same
+trade-off as torch's DistributedSampler padding).
 """
 from __future__ import annotations
 
@@ -31,6 +37,7 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         shard: Optional[Tuple[int, int]] = None,
+        shard_pad: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -41,6 +48,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.shard = shard
+        self.shard_pad = shard_pad
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -54,7 +62,14 @@ class DataLoader:
             rng.shuffle(idx)
         if self.shard is not None:
             rank, world = self.shard
+            full = idx
             idx = idx[rank::world]
+            if self.shard_pad and n > 0:
+                target = -(-n // world)   # global max shard length
+                if len(idx) == 0:
+                    idx = full[[rank % n]]
+                while len(idx) < target:
+                    idx = np.concatenate([idx, idx[: target - len(idx)]])
         return idx
 
     def __len__(self):

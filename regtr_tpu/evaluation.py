@@ -39,18 +39,21 @@ def merge_est_log_dirs(rank_dirs, merged_dir):
     the Predator benchmark).  Pair order within a scene is irrelevant to the
     Redwood-format reader."""
     merged_dir = Path(merged_dir)
+    scenes: dict = {}
     for rd in rank_dirs:
         rd = Path(rd)
         if not rd.exists():
             continue
         for scene_dir in sorted(p for p in rd.iterdir() if p.is_dir()):
             src = scene_dir / "est.log"
-            if not src.exists():
-                continue
-            dst_dir = merged_dir / scene_dir.name
-            dst_dir.mkdir(parents=True, exist_ok=True)
-            with open(dst_dir / "est.log", "a") as f:
-                f.write(src.read_text())
+            if src.exists():
+                scenes.setdefault(scene_dir.name, []).append(src.read_text())
+    for scene, texts in scenes.items():
+        dst_dir = merged_dir / scene
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        # write-once ("w"): appending would double-count pairs if the
+        # out_dir already held a previous run's merged est.log
+        (dst_dir / "est.log").write_text("".join(texts))
 
 
 def _allgather_ragged(arr):
@@ -171,18 +174,26 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
             (out_dir / "benchmark_report.txt").write_text(report)
         else:
             logger.warning("GT benchmark dir %s missing; recall skipped", gt_dir)
-    elif dataset_name in ("modelnet", "synthetic") and mn_metrics:
-        keys = mn_metrics[0].keys()
-        cat = {k: np.concatenate([m[k] for m in mn_metrics]) for k in keys}
-        poses = np.concatenate(mn_poses)
+    elif dataset_name in ("modelnet", "synthetic"):
+        # Collectives below must run on EVERY process, including one whose
+        # test shard was empty — it contributes zero-length arrays.
+        keys = mn_metrics[0].keys() if mn_metrics else bm_modelnet.METRIC_KEYS
+        cat = {
+            k: (np.concatenate([m[k] for m in mn_metrics]) if mn_metrics
+                else np.zeros((0,), np.float64))
+            for k in keys
+        }
+        poses = (np.concatenate(mn_poses) if mn_poses
+                 else np.zeros((0, 3, 4), np.float64))
         if nproc > 1:
             cat = {k: _allgather_ragged(v) for k, v in cat.items()}
             poses = _allgather_ragged(poses)
-        summary = bm_modelnet.summarize_metrics(cat)
-        bm_modelnet.print_metrics(logger, summary)
-        results.update(summary)
-        if proc == 0:
-            np.save(out_dir / "pred_transforms.npy", poses)
+        if len(poses):
+            summary = bm_modelnet.summarize_metrics(cat)
+            bm_modelnet.print_metrics(logger, summary)
+            results.update(summary)
+            if proc == 0:
+                np.save(out_dir / "pred_transforms.npy", poses)
 
     return results
 

@@ -189,13 +189,20 @@ def circle_loss_sampled(feats_a, feats_b, xyz_a, xyz_b, mask_a, mask_b,
             jnp.sum(xyz_a, dtype=jnp.float32), jnp.int32
         )
         key = jax.random.fold_in(jax.random.PRNGKey(17), bits)
+    from ..ops.kpconv import batched_row_gather
+
     idx_a, idx_b, valid = sample_correspondences(
         key, xyz_a, xyz_b, mask_a, mask_b, r_p, n_sample
     )
-    fa = jnp.take_along_axis(feats_a, idx_a[..., None], axis=1)
-    fb = jnp.take_along_axis(feats_b, idx_b[..., None], axis=1)
-    xa = jnp.take_along_axis(xyz_a, idx_a[..., None], axis=1)
-    xb = jnp.take_along_axis(xyz_b, idx_b[..., None], axis=1)
+    # Row gathers go through batched_row_gather per the repo perf invariant
+    # (flat 1-D take + segment-sum custom VJP; take_along_axis pays the
+    # serialized scatter-add backward).
+    idx_a = idx_a.astype(jnp.int32)
+    idx_b = idx_b.astype(jnp.int32)
+    fa = batched_row_gather(feats_a, idx_a)
+    fb = batched_row_gather(feats_b, idx_b)
+    xa = batched_row_gather(xyz_a, idx_a)
+    xb = batched_row_gather(xyz_b, idx_b)
 
     coords_dist = jnp.sqrt(pairwise_sqdist(xa, xb) + 1e-12)
     fd = _feature_dist(fa, fb, dist_type)

@@ -62,6 +62,9 @@ class RegTR(nn.Module):
             sa_val_has_pos_emb=cfg.get("sa_val_has_pos_emb", True),
             ca_val_has_pos_emb=cfg.get("ca_val_has_pos_emb", True),
             attn_impl=cfg.get("attention_impl", "auto"),
+            compute_dtype=(jnp.bfloat16
+                           if cfg.get("compute_dtype") == "bfloat16"
+                           else None),
             # Coarse-level activations are small (≈2k pts × d_embed), so
             # rematerializing the transformer buys little memory while
             # paying full recompute in backward; default it off

@@ -57,6 +57,7 @@ class MultiHeadAttention(nn.Module):
     nhead: int
     dropout: float = 0.0
     attn_impl: str = "auto"
+    compute_dtype: Any = None   # bf16 flash operands only when requested
 
     @nn.compact
     def __call__(self, q, k, v, key_mask, deterministic=True):
@@ -75,11 +76,14 @@ class MultiHeadAttention(nn.Module):
 
         impl = _resolve_attn_impl(self.attn_impl, self.dropout, deterministic)
         if impl in ("pallas", "pallas_interpret"):
-            # bf16 operands, fp32 softmax statistics + accumulation (the
-            # kernel always accumulates in fp32); output cast back.
+            # Operand dtype follows compute_dtype (bf16 halves HBM traffic;
+            # fp32 kept exact when the config asks for it); the kernel
+            # always uses fp32 softmax statistics + accumulation.
+            op_dtype = self.compute_dtype or qh.dtype
+
             def fold(x):
                 return jnp.transpose(x, (0, 2, 1, 3)).reshape(
-                    b * self.nhead, -1, d_head).astype(jnp.bfloat16)
+                    b * self.nhead, -1, d_head).astype(op_dtype)
 
             bias = jnp.where(key_mask, 0.0, NEG_INF).astype(jnp.float32)
             bias = jnp.broadcast_to(
@@ -127,6 +131,7 @@ class CrossEncoderLayer(nn.Module):
     sa_val_has_pos_emb: bool = True
     ca_val_has_pos_emb: bool = True
     attn_impl: str = "auto"
+    compute_dtype: Any = None
 
     def _act(self, x):
         return {"relu": nn.relu, "gelu": nn.gelu}[self.activation](x)
@@ -136,9 +141,11 @@ class CrossEncoderLayer(nn.Module):
         """x: (2B, N, D) paired features; pos: (2B, N, D) or None;
         mask: (2B, N) validity."""
         sa = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
-                                self.attn_impl, name="self_attn")
+                                self.attn_impl, self.compute_dtype,
+                                name="self_attn")
         ca = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
-                                self.attn_impl, name="cross_attn")
+                                self.attn_impl, self.compute_dtype,
+                                name="cross_attn")
         norm1 = nn.LayerNorm(name="norm1")
         norm2 = nn.LayerNorm(name="norm2")
         norm3 = nn.LayerNorm(name="norm3")
@@ -196,6 +203,7 @@ class TransformerCrossEncoder(nn.Module):
     sa_val_has_pos_emb: bool = True
     ca_val_has_pos_emb: bool = True
     attn_impl: str = "auto"
+    compute_dtype: Any = None
 
     remat: bool = True
 
@@ -212,7 +220,7 @@ class TransformerCrossEncoder(nn.Module):
                 self.d_model, self.nhead, self.d_feedforward, self.dropout,
                 self.activation, self.pre_norm,
                 self.sa_val_has_pos_emb, self.ca_val_has_pos_emb,
-                self.attn_impl,
+                self.attn_impl, self.compute_dtype,
                 name=f"layer_{i}",
             )(x, pos, mask, deterministic)
             intermediates.append(final_norm(x) if final_norm is not None else x)

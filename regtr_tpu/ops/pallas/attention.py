@@ -19,9 +19,11 @@ half of every training step) gets the flash win.  Forward-vs-backward
 recompute may differ by bf16 rounding, as with any remat schedule.
 
 Numerics follow the flash-attention recipe: fp32 running max / sum / output
-accumulator, finite mask bias (-1e9, never -inf), safe division for
-fully-masked rows (those rows degrade to uniform attention in the XLA path;
-here they produce zeros — both are padding garbage, masked downstream).
+accumulator, finite mask bias (-1e9, never -inf).  Fully-masked rows behave
+like the XLA path: the finite bias means the softmax still normalizes over
+the masked keys, so those rows emit attention-weighted garbage, NOT zeros —
+callers must mask padded rows downstream (they all do).  The l == 0 guard
+in the final division only protects a hypothetical all-underflow tile.
 """
 from __future__ import annotations
 

@@ -121,6 +121,16 @@ def load_params_npz(path, params_template):
             missing.append(_slash_key(keypath))
             out.append(np.asarray(leaf))
     if missing:
+        # A converted checkpoint legitimately lacks a few params the torch
+        # model never had (norm-free blocks, loss criteria) — but a mostly-
+        # missing archive means a config mismatch, and silently evaluating
+        # near-random weights would masquerade as a real result.
+        if len(missing) > 0.5 * len(leaves):
+            raise ValueError(
+                f"{path} matches only {len(leaves) - len(missing)}/"
+                f"{len(leaves)} params of this model — wrong config or "
+                f"checkpoint? (first missing: {missing[:3]})"
+            )
         logging.getLogger("regtr_tpu").warning(
             "%d params not in %s (kept init values): %s%s",
             len(missing), path, ", ".join(missing[:5]),

@@ -33,7 +33,26 @@ def prepare_logger(log_path=None, dev: bool = False, name: str = "regtr_tpu"):
             shutil.rmtree(logdir)
     else:
         base = Path(log_path) if log_path else Path("../logs")
-        logdir = base / time.strftime("%y%m%d_%H%M%S")
+        stamp = time.strftime("%y%m%d_%H%M%S")
+        # Multi-host: every process must resolve the SAME run directory
+        # (the test protocol merges per-rank est.log trees under one
+        # out_dir) — broadcast rank 0's timestamp.
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                enc = np.zeros(16, np.int32)
+                raw = stamp.encode()[:16]
+                enc[: len(raw)] = np.frombuffer(raw, np.uint8)
+                enc = np.asarray(
+                    multihost_utils.broadcast_one_to_all(enc)
+                )
+                stamp = bytes(enc[enc > 0].astype(np.uint8)).decode()
+        except ImportError:
+            pass
+        logdir = base / stamp
     logdir.mkdir(parents=True, exist_ok=True)
 
     logger = logging.getLogger(name)

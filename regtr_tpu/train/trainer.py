@@ -117,6 +117,22 @@ class Trainer:
                         "Train step %d failed (%d consecutive)",
                         step + 1, consecutive_failures,
                     )
+                    # The update program donates the state buffers; if the
+                    # failure hit mid-update the old state is gone and every
+                    # retry would fail with a misleading donation error —
+                    # verify the state is still alive before continuing.
+                    try:
+                        jax.block_until_ready(
+                            jax.tree_util.tree_leaves(state.params)[0]
+                        )
+                    except Exception:
+                        self.logger.error(
+                            "Optimizer state was donated to the failed "
+                            "update; cannot recover in-process — re-raising "
+                            "the original error (resume from the last "
+                            "checkpoint)."
+                        )
+                        raise
                     if consecutive_failures >= 5:
                         raise
                     continue

@@ -281,3 +281,35 @@ class TestDataLoader:
         got_b = [i for batch in b for i in batch]
         assert sorted(got_a + got_b) == list(range(10))
         assert not set(got_a) & set(got_b)
+
+    def test_shard_pad_equalizes_batch_counts(self):
+        """shard_pad wraps short shards so every process yields the same
+        number of batches (collective val loops would hang otherwise)."""
+        from regtr_tpu.data.prefetch import DataLoader
+
+        class Identity:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return i
+
+        collate = lambda xs: xs
+        # 9 samples over 2 ranks, batch 2: unpadded would be 3 vs 2 batches
+        loaders = [
+            DataLoader(Identity(9), 2, collate, shard=(r, 2),
+                       shard_pad=True, num_workers=0)
+            for r in range(2)
+        ]
+        counts = [len(list(ld)) for ld in loaders]
+        assert counts[0] == counts[1] == len(loaders[0])
+        # every original sample still appears at least once
+        seen = {i for ld in loaders for batch in ld for i in batch}
+        assert seen == set(range(9))
+        # a rank with an empty raw shard still yields batches
+        tiny = DataLoader(Identity(1), 2, collate, shard=(1, 2),
+                          shard_pad=True, num_workers=0)
+        assert len(list(tiny)) == 1
