@@ -26,8 +26,10 @@ os.environ.setdefault("JAX_PLATFORMS", "axon")
 if "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
 # Persistent compilation cache: the remote-TPU compile of the full graph is
-# minutes; cache it across bench invocations.
+# minutes; cache it across bench invocations.  min_compile_time MUST be 0 on
+# this backend (see regtr_tpu/utils/jax_cache.py).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 
 def log(*args):
@@ -128,6 +130,30 @@ def main():
     log(f"{iters} iters in {dt:.3f}s -> {pairs_per_sec:.2f} pairs/sec "
         f"({1000*dt/(iters*n_pairs):.1f} ms/pair)")
 
+    # FLOP / MFU accounting (VERDICT r2 #2): XLA's analytical flop count for
+    # the compiled forward / measured step time / v5e peak.  Peak used:
+    # 197 TFLOP/s (v5e bf16 MXU); fp32 runs through the same MXU at half
+    # rate, so fp32 MFU is reported against 98.5.  A low MFU is expected
+    # here — the backbone is gather/HBM-bound, not MXU-bound (see
+    # RESULTS.md roofline discussion).
+    tflops = mfu = None
+    try:
+        cost = fwd.lower(variables["params"], pts_d, mask_d) \
+                  .compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            step_s = dt / iters
+            tflops = flops / step_s / 1e12
+            peak = 197e12 if dtype == "bfloat16" else 98.5e12
+            mfu = flops / step_s / peak
+            log(f"cost_analysis: {flops/1e9:.1f} GFLOP/step -> "
+                f"{tflops:.2f} TFLOP/s = {100*mfu:.2f}% MFU "
+                f"({dtype} peak)")
+    except Exception as e:  # cost_analysis is backend-dependent
+        log(f"cost_analysis unavailable: {type(e).__name__}: {e}")
+
     print(json.dumps({
         "metric": "3dmatch_inference_throughput",
         "value": round(pairs_per_sec, 3),
@@ -138,6 +164,8 @@ def main():
         # compile_s small on repeat runs)
         "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
+        "tflops": None if tflops is None else round(tflops, 2),
+        "mfu": None if mfu is None else round(mfu, 4),
     }))
 
 

@@ -61,6 +61,9 @@ def main(argv=None):
 
     if opt.platform:
         os.environ["JAX_PLATFORMS"] = opt.platform
+    from regtr_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     if opt.platform:

@@ -43,10 +43,11 @@ TPU_DEFAULTS = {
     # Support-tile size for the streaming neighbor search.
     "neighbor_chunk": 1024,
     # approx_min_k worst-case recall guarantee for the brute neighbor path.
-    # 0.7 measured 7x faster than 0.95 on v5e with actual recall 0.990 vs
-    # 0.997 on real 3DMatch scans (the guarantee is adversarial-case; sparse
-    # in-radius candidates rarely collide in the reduction bins).
-    "neighbor_recall": 0.7,
+    # Conservative 0.95 by default: the guarantee is distribution-dependent,
+    # so an untuned dataset keeps near-exact tables.  The 3DMatch preset/YAML
+    # lowers this to 0.7 (measured 7x faster on v5e with actual recall 0.990
+    # vs 0.997 on real scans, end-metric deltas quantified in RESULTS.md).
+    "neighbor_recall": 0.95,
     # Spatially sort clouds at pyramid entry (gather locality; deterministic).
     "sort_input": True,
     # Transformer attention implementation: 'auto' (flash Pallas kernel on

@@ -40,10 +40,19 @@ def merge_est_log_dirs(rank_dirs, merged_dir):
     Redwood-format reader."""
     merged_dir = Path(merged_dir)
     scenes: dict = {}
+    missing = [str(rd) for rd in rank_dirs if not Path(rd).exists()]
+    if missing:
+        # A missing rank tree means the hosts don't share a filesystem (or a
+        # rank died before writing): scoring the remainder would silently
+        # report recall on a subset of pairs masquerading as a full result.
+        raise FileNotFoundError(
+            f"est.log merge expected {len(rank_dirs)} rank directories but "
+            f"{len(missing)} are missing: {missing}. All hosts must write to "
+            "a shared filesystem (or copy rank trees to rank 0) before "
+            "scoring."
+        )
     for rd in rank_dirs:
         rd = Path(rd)
-        if not rd.exists():
-            continue
         for scene_dir in sorted(p for p in rd.iterdir() if p.is_dir()):
             src = scene_dir / "est.log"
             if src.exists():

@@ -106,7 +106,7 @@ class RegTR(nn.Module):
             chunk=int(cfg.get("neighbor_chunk", 1024)),
             method=cfg.get("neighbor_method", "brute"),
             cell_cap=int(cfg.get("cell_capacity", 32)),
-            recall_target=float(cfg.get("neighbor_recall", 0.7)),
+            recall_target=float(cfg.get("neighbor_recall", 0.95)),
             sort_input=bool(cfg.get("sort_input", True)),
         )
         # When level 0 was spatially sorted, downstream consumers see the

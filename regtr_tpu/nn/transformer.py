@@ -29,16 +29,21 @@ from ..ops.pallas import flash_masked_attention
 
 
 def _resolve_attn_impl(impl: str, dropout: float, deterministic: bool) -> str:
-    """'auto' -> flash kernel on TPU-like backends, XLA elsewhere.
+    """'auto' -> flash kernel on TPU, XLA elsewhere.
 
-    The flash path has no attention-probability tensor, so attention-map
-    analysis (sow) and attention dropout require the XLA path.
+    The flash path has no attention-probability tensor; attention dropout
+    therefore requires the XLA path.  Attention-map analysis works on BOTH:
+    the flash path recomputes probabilities when the caller requests
+    intermediates (see MultiHeadAttention.__call__).
     """
     if impl == "auto":
+        # The Pallas kernel is Mosaic-TPU-specific: only select it when the
+        # backend really is TPU; GPU/CPU/other accelerators take the XLA
+        # path (which also keeps the sow('intermediates','attn') hook alive).
         dd = jax.config.jax_default_device
-        on_cpu = (jax.default_backend() == "cpu"
-                  or (dd is not None and dd.platform == "cpu"))
-        impl = "xla" if on_cpu else "pallas"
+        on_tpu = (jax.default_backend() == "tpu"
+                  and (dd is None or dd.platform == "tpu"))
+        impl = "pallas" if on_tpu else "xla"
     if impl == "pallas" and dropout > 0.0 and not deterministic:
         impl = "xla"
     return impl
@@ -96,6 +101,24 @@ class MultiHeadAttention(nn.Module):
             out = jnp.transpose(
                 o.reshape(b, self.nhead, nq, d_head), (0, 2, 1, 3)
             ).reshape(b, nq, self.d_model)
+            # Analysis-hook parity with the XLA path (reference:
+            # get_attentions, transformers.py:61-81): the kernel never
+            # materializes probabilities, so when the caller explicitly
+            # requests them — apply(..., mutable=["intermediates"]) — they
+            # are recomputed here.  Costs one (N, N) materialization in
+            # analysis runs only; normal forward/training pays nothing.
+            if (not self.is_initializing()
+                    and self.is_mutable_collection("intermediates")):
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", qh, kh,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                logits = jnp.where(
+                    key_mask[:, None, None, :], logits,
+                    jnp.asarray(NEG_INF, logits.dtype),
+                )
+                self.sow("intermediates", "attn",
+                         nn.softmax(logits, axis=-1))
             return nn.Dense(self.d_model, name="out_proj")(out)
 
         logits = jnp.einsum(

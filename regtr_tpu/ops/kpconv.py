@@ -62,8 +62,12 @@ def _row_gather_bwd(res, g):
     inds, (b, n, c) = res
     offs = (jnp.arange(b, dtype=inds.dtype) * n)[:, None]
     flat_idx = (inds + offs).reshape(-1)
+    # Accumulate in fp32 even when the forward gathers bf16 rows: each
+    # support row sums up to hundreds of cotangent contributions, and an
+    # 8-bit mantissa accumulator silently degrades bf16 training gradients.
     dx = jax.ops.segment_sum(
-        g.reshape(-1, g.shape[-1]), flat_idx, num_segments=b * n
+        g.reshape(-1, g.shape[-1]).astype(jnp.float32),
+        flat_idx, num_segments=b * n,
     )
     return dx.reshape(b, n, c).astype(g.dtype), None
 

@@ -1,120 +1,33 @@
-"""Programmatic config presets mirroring the shipped YAMLs plus test sizes.
+"""Programmatic config presets backed by the shipped YAMLs.
 
-The YAML files under conf/ remain the user-facing interface; these presets
-exist so tests, bench, and the driver entry can build models without file
-I/O.  Values mirror /root/reference/src/conf/{3dmatch,modelnet}.yaml.
+The YAML files under conf/ are the single source of truth for every
+hyperparameter (reference schema: /root/reference/src/conf/*.yaml plus our
+`tpu_options` section); these helpers load them for callers that want a
+Config without knowing the file layout (tests, bench.py, the driver entry).
+`tests/test_core.py::test_presets_match_yaml` pins the equivalence so bench
+numbers always describe the trained configs.
 """
 from __future__ import annotations
 
-from .config import Config, make_config
+from pathlib import Path
 
-_COMMON_MODEL = dict(
-    model="regtr.RegTR",
-    attention_type="dot_prod",
-    nhead=8,
-    d_embed=256,
-    d_feedforward=1024,
-    dropout=0.0,
-    pre_norm=True,
-    transformer_act="relu",
-    num_encoder_layers=6,
-    transformer_encoder_has_pos_emb=True,
-    sa_val_has_pos_emb=True,
-    ca_val_has_pos_emb=True,
-    pos_emb_type="sine",
-    corr_decoder_has_pos_emb=True,
-    direct_regress_coor=True,
-)
+from .config import Config, load_config
 
-_COMMON_LOSS = dict(
-    wt_overlap=1.0,
-    overlap_loss_on=[5],
-    wt_feature=0.1,
-    wt_feature_un=0.0,
-    feature_loss_on=[5],
-    feature_loss_type="infonce",
-    wt_corr=1.0,
-    corr_loss_on=[5],
-    reg_success_thresh_rot=10,
-    reg_success_thresh_trans=0.1,
-)
+CONF_DIR = Path(__file__).resolve().parent.parent / "conf"
 
-_COMMON_SOLVER = dict(
-    optimizer="AdamW",
-    base_lr=1e-4,
-    weight_decay=1e-4,
-    grad_clip=0.1,
-    scheduler="step",
-)
+
+def _load(name: str, **overrides) -> Config:
+    cfg = load_config(CONF_DIR / f"{name}.yaml")
+    cfg.update(overrides)
+    return cfg
 
 
 def threedmatch_config(**overrides) -> Config:
-    cfg = make_config(
-        dataset="3dmatch",
-        train_batch_size=2, val_batch_size=2, test_batch_size=1,
-        augment_noise=0.005, perturb_pose="small", overlap_radius=0.0375,
-        niter=-70,
-        scheduler_param=[205860, 0.5],
-        num_layers=4,
-        neighborhood_limits=[40, 40, 40, 40],
-        aggregation_mode="sum",
-        first_subsampling_dl=0.025,
-        first_feats_dim=128,
-        fixed_kernel_points="center",
-        in_feats_dim=1, in_points_dim=3,
-        conv_radius=2.5, deform_radius=5.0,
-        KP_extent=2.0, KP_influence="linear",
-        use_batch_norm=True, batch_norm_momentum=0.02,
-        modulated=False, num_kernel_points=15,
-        architecture=[
-            "simple", "resnetb", "resnetb_strided", "resnetb", "resnetb",
-            "resnetb_strided", "resnetb", "resnetb", "resnetb_strided",
-            "resnetb", "resnetb",
-        ],
-        r_p=0.2, r_n=0.4,
-        **_COMMON_MODEL, **_COMMON_LOSS, **_COMMON_SOLVER,
-    )
-    # Measured on real 3DMatch scans: ~3.7x reduction per level; 0.45 leaves
-    # comfortable headroom.
-    cfg.capacity_factor = 0.45
-    # Stored backbone activations fit HBM at bucket 20480 x 2 pairs/chip and
-    # the backward then skips the gather recompute: 456 -> 390 ms/step
-    # measured on v5e.  Re-enable remat for larger per-chip batches.
-    cfg.remat = False
-    cfg.update(overrides)
-    return cfg
+    return _load("3dmatch", **overrides)
 
 
 def modelnet_config(**overrides) -> Config:
-    cfg = make_config(
-        dataset="modelnet",
-        train_batch_size=4, val_batch_size=4, test_batch_size=1,
-        augment_noise=0.005, perturb_pose="small", overlap_radius=0.0375,
-        partial=[0.7, 0.7], num_points=1024, noise_type="crop",
-        rot_mag=45.0, trans_mag=0.5,
-        niter=-400,
-        scheduler_param=[127800, 0.5],
-        num_layers=2,
-        neighborhood_limits=[50, 50],
-        aggregation_mode="sum",
-        first_subsampling_dl=0.03,
-        first_feats_dim=512,
-        fixed_kernel_points="center",
-        in_feats_dim=1, in_points_dim=3,
-        conv_radius=2.75, deform_radius=5.0,
-        KP_extent=2.0, KP_influence="linear",
-        use_batch_norm=True, batch_norm_momentum=0.02,
-        modulated=False, num_kernel_points=15,
-        architecture=[
-            "simple", "resnetb", "resnetb", "resnetb_strided",
-            "resnetb", "resnetb",
-        ],
-        r_p=0.12, r_n=0.24,
-        **_COMMON_MODEL, **_COMMON_LOSS, **_COMMON_SOLVER,
-    )
-    cfg.capacity_factor = 0.85  # unit-scale CAD clouds subsample mildly
-    cfg.update(overrides)
-    return cfg
+    return _load("modelnet", **overrides)
 
 
 def tiny_config(**overrides) -> Config:

@@ -22,6 +22,16 @@ from pathlib import Path
 import numpy as np
 
 
+def _process_index() -> int:
+    """This host's rank (0 when jax is absent or single-process)."""
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 def prepare_logger(log_path=None, dev: bool = False, name: str = "regtr_tpu"):
     """Create the run directory (timestamped, or ../logdev wiped when dev)
     and wire console + file logging.  Returns (logger, logdir)."""
@@ -64,7 +74,12 @@ def prepare_logger(log_path=None, dev: bool = False, name: str = "regtr_tpu"):
         logging.Formatter("%(asctime)s [%(levelname)s] %(message)s", "%H:%M:%S")
     )
     logger.addHandler(console)
-    fileh = logging.FileHandler(logdir / "log.txt")
+    # Multi-host ranks share the logdir (est.log merge needs that) but must
+    # not append to the same file: O_APPEND interleaving is not atomic on
+    # network filesystems.  Rank 0 keeps the canonical name.
+    rank = _process_index()
+    log_name = "log.txt" if rank == 0 else f"log.rank{rank}.txt"
+    fileh = logging.FileHandler(logdir / log_name)
     fileh.setLevel(logging.DEBUG)
     fileh.setFormatter(
         logging.Formatter("%(asctime)s [%(levelname)s] %(name)s: %(message)s")
@@ -151,15 +166,22 @@ class MetricsWriter:
     """metrics.jsonl (always) + TensorBoard (when available)."""
 
     def __init__(self, logdir, subdir="train"):
-        self.path = Path(logdir) / f"metrics_{subdir}.jsonl"
+        # Per-rank files on multi-host: validation metrics are globally
+        # reduced before write() (Trainer._global_averages) so rank>0 files
+        # are redundant, but separate names keep concurrent appends from
+        # interleaving/corrupting one JSONL; TensorBoard is rank-0 only.
+        rank = _process_index()
+        suffix = "" if rank == 0 else f".rank{rank}"
+        self.path = Path(logdir) / f"metrics_{subdir}{suffix}.jsonl"
         self._f = open(self.path, "a")
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        if rank == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self._tb = SummaryWriter(str(Path(logdir) / subdir))
-        except Exception:
-            pass
+                self._tb = SummaryWriter(str(Path(logdir) / subdir))
+            except Exception:
+                pass
 
     def write(self, step: int, metrics: dict):
         rec = {"step": int(step)}

@@ -128,6 +128,11 @@ def make_train_step(model, mesh=None, donate: bool = True):
         metrics["update_skipped"] = skipped
         return new_state, metrics
 
+    # Exposed for profilers (FLOP accounting via .lower().compile()
+    # .cost_analysis(); grads_jit is ~all of the step's FLOPs).
+    step.grads_jit = g_jit
+    step.metrics_jit = m_jit
+    step.apply_jit = a_jit
     return step
 
 

@@ -34,6 +34,9 @@ def main(argv=None):
     opt = parse_args(argv)
     if opt.platform:
         os.environ["JAX_PLATFORMS"] = opt.platform
+    from regtr_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
 
     if opt.platform:

@@ -156,7 +156,7 @@ def build_our_levels(cfg, src, tgt, n0):
         chunk=int(cfg.get("neighbor_chunk", 1024)),
         method=cfg.get("neighbor_method", "brute"),
         cell_cap=int(cfg.get("cell_capacity", 32)),
-        recall_target=float(cfg.get("neighbor_recall", 0.7)),
+        recall_target=float(cfg.get("neighbor_recall", 0.95)),
         sort_input=bool(cfg.get("sort_input", True)),
     )
     return pts, mask, levels

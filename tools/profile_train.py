@@ -14,6 +14,7 @@ os.environ.setdefault("JAX_PLATFORMS", "axon")
 if "cpu" not in os.environ["JAX_PLATFORMS"]:
     os.environ["JAX_PLATFORMS"] = os.environ["JAX_PLATFORMS"] + ",cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -87,6 +88,22 @@ def main():
     dt = (time.time() - t0 - rtt) / iters
     print(f"train step: {dt*1000:.0f} ms  ({n_pairs/dt:.2f} pairs/s)  "
           f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
+
+    # FLOP/MFU of the dominant program (grads holds ~all of the step's
+    # FLOPs; the metrics/update programs are negligible).
+    try:
+        cost = step.grads_jit.lower(state.params, batch) \
+            .compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = 197e12 if dtype == "bfloat16" else 98.5e12
+        print(f"grads program: {flops/1e9:.1f} GFLOP -> "
+              f"{flops/dt/1e12:.2f} TFLOP/s = {100*flops/dt/peak:.2f}% MFU "
+              f"(vs whole-step time; v5e {dtype} peak)", flush=True)
+    except Exception as e:
+        print(f"cost_analysis unavailable: {type(e).__name__}: {e}",
+              flush=True)
 
 
 if __name__ == "__main__":
