@@ -29,7 +29,10 @@ def get_dataset(cfg, phase: str):
             ])
         else:
             aug = None
-        return ThreeDMatchDataset(cfg, phase, transforms=aug)
+        kwargs = {}
+        if cfg.get("metadata_dir"):
+            kwargs["metadata_dir"] = cfg["metadata_dir"]
+        return ThreeDMatchDataset(cfg, phase, transforms=aug, **kwargs)
     if name in ("modelnet", "synthetic"):
         return make_modelnet_datasets(cfg, phase)
     raise ValueError(f"unknown dataset {name!r}")
@@ -47,8 +50,14 @@ def get_dataloader(cfg, phase: str, num_workers: int = 4, shard=None):
         seed=int(cfg.get("seed", 0)),
         drop_last=phase == "train",
         shard=shard,
-        # val runs collective mesh programs per batch -> all processes must
-        # see equal batch counts; test runs per-process local forwards and
-        # must NOT duplicate protocol samples (see prefetch.py).
-        shard_pad=phase == "val",
+        # train/val run collective mesh programs per batch -> all processes
+        # must see equal batch counts (an uneven shard after drop_last could
+        # otherwise leave one rank with zero batches and hang the
+        # collectives); test runs per-process local forwards and must NOT
+        # duplicate protocol samples (see prefetch.py).
+        shard_pad=phase in ("train", "val"),
+        # val batches must all have the full batch shape: mesh-sharded eval
+        # needs the batch axis to divide the mesh (train gets this from
+        # drop_last; test runs unsharded per process).
+        pad_last_batch=phase == "val",
     )

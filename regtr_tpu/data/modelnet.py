@@ -9,6 +9,7 @@ contract for training smoke tests and demos.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import List, Optional
 
@@ -123,6 +124,19 @@ def make_modelnet_datasets(cfg, phase: str):
             else None
         subset = "train" if phase == "train" else "test"
         return ModelNetHdf(cfg, root, subset, cats, transform)
+    if cfg.get("dataset") == "modelnet":
+        # The reference auto-downloads here (modelnet.py:219-228); this
+        # framework targets hermetic TPU pods, so fetching is an explicit
+        # user step.  Tell them exactly what to do instead of silently
+        # swapping datasets.
+        logging.getLogger("regtr_tpu").warning(
+            "ModelNet HDF5 data not found at root=%r (no shape_names.txt). "
+            "Download modelnet40_ply_hdf5_2048 "
+            "(https://shapenet.cs.stanford.edu/media/"
+            "modelnet40_ply_hdf5_2048.zip), unzip, and point dataset.root "
+            "at it. Falling back to the synthetic parametric-shape dataset "
+            "for this run.", root,
+        )
     from .synthetic import SyntheticShapeDataset
 
     return SyntheticShapeDataset(

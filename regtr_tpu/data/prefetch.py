@@ -38,6 +38,7 @@ class DataLoader:
         drop_last: bool = False,
         shard: Optional[Tuple[int, int]] = None,
         shard_pad: bool = False,
+        pad_last_batch: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -49,6 +50,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.shard = shard
         self.shard_pad = shard_pad
+        # Wrap-pad the FINAL batch to full batch_size (duplicate leading
+        # samples) so every batch has identical shape: mesh-sharded steps
+        # require the batch axis to divide the mesh.  Same duplicate-bias
+        # trade-off as torch's DistributedSampler; use for val, never for
+        # test protocols (duplicated pairs would corrupt benchmark scores).
+        self.pad_last_batch = pad_last_batch
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -86,6 +93,11 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        elif self.pad_last_batch and batches and len(idx) > 0:
+            last = batches[-1]
+            if len(last) < self.batch_size:
+                fill = np.resize(idx, self.batch_size - len(last))
+                batches[-1] = np.concatenate([last, fill])
 
         if self.num_workers == 0:
             for b in batches:

@@ -33,9 +33,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
-    """Device-put every array in the batch with its leading axis sharded."""
+    """Device-put every array in the batch with its leading axis sharded.
+
+    Multi-process: each process's loader yields its OWN shard of the global
+    batch, so the global array is the concatenation over processes —
+    `make_array_from_process_local_data` expresses exactly that.  A plain
+    device_put would instead treat every process's local batch as the same
+    global value and silently keep only the addressable rows of each
+    (verified empirically on the CPU multi-process backend), i.e. drop half
+    of every process's data.
+    """
     sh = batch_sharding(mesh, axis)
+    if _spans_processes(mesh):
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def _spans_processes(mesh: Mesh) -> bool:
+    return jax.process_count() > 1 and any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
 
 
 def init_distributed(coordinator: Optional[str] = None,

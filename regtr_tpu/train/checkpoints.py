@@ -39,7 +39,9 @@ class CheckpointManager:
         improves (higher is better, matching reg_success selection)."""
         self._mgr.save(step, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
-        if score is not None:
+        # Multi-host: orbax coordinates the save itself (every process calls
+        # save; the primary host writes); only rank 0 updates best.json.
+        if score is not None and jax.process_index() == 0:
             best = self.best_record()
             if best is None or score > best["score"]:
                 with open(self._best_file, "w") as f:

@@ -101,6 +101,18 @@ class Trainer:
         t_last = time.time()
         done = False
         consecutive_failures = 0
+        # Interactive progress with EMA-smoothed loss (reference
+        # trainer.py:87,127-135).  tty + rank 0 only — batch logs keep the
+        # line-based summaries; the EMA updates only at metric sync points
+        # so the async dispatch pipeline is never stalled.
+        import sys as _sys
+
+        from tqdm import tqdm
+        tbar = tqdm(
+            total=total_steps, initial=step, ncols=80, leave=False,
+            disable=not (_sys.stdout.isatty() and jax.process_index() == 0),
+        )
+        loss_ema = None
         while not done:
             train_loader.set_epoch(epoch)
             for batch, _meta in train_loader:
@@ -138,6 +150,7 @@ class Trainer:
                     continue
                 consecutive_failures = 0
                 step += 1
+                tbar.update(1)
                 # Only sync metrics to host at summary boundaries: a per-step
                 # device->host conversion stalls the async dispatch pipeline
                 # (~3x slower on the tunneled backend).
@@ -152,6 +165,9 @@ class Trainer:
                         meters.update(
                             {k: np.asarray(v) for k, v in metrics.items()}
                         )
+                        loss_ema = total if loss_ema is None \
+                            else 0.99 * loss_ema + 0.01 * total
+                        tbar.set_postfix(loss=f"{loss_ema:.3f}")
                 if step % self.summary_every == 0:
                     avgs = meters.averages()
                     rate = self.summary_every / (time.time() - t_last)
@@ -176,6 +192,7 @@ class Trainer:
                     done = True
                     break
             epoch += 1
+        tbar.close()
         if val_loader is not None:
             score = self._run_validation(
                 eval_step, state, val_loader, writer=val_writer, step=step

@@ -6,109 +6,24 @@ a miniature dataset in the EXACT on-disk formats (per-fragment .pth files,
 path: dataset -> augmentations -> bucketed collate -> train step ->
 test protocol (est.log writing) -> Predator benchmark scoring.
 """
-import os
-import pickle
-from pathlib import Path
-
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
-import torch
 
 from regtr_tpu.core import se3_np
 
-
-N_FRAG = 4
-SCENE = "synthscene"
+from .synth_threedmatch import SCENE, build_root, tiny_cfg
 
 
 @pytest.fixture(scope="module")
 def data_root(tmp_path_factory):
     """Fabricate fragments of one synthetic 'room' + pair metadata + GT."""
-    root = tmp_path_factory.mktemp("threedmatch")
-    (root / "test" / SCENE).mkdir(parents=True)
-    rng = np.random.RandomState(0)
-
-    # A "room": points on the surface of a box with furniture-ish blobs.
-    room = np.concatenate([
-        rng.rand(4000, 3).astype(np.float32) * [4, 3, 0.02],
-        rng.rand(1500, 3).astype(np.float32) * [0.02, 3, 2.5],
-        rng.rand(1500, 3).astype(np.float32) * [4, 0.02, 2.5] + [0, 3, 0],
-        rng.rand(800, 3).astype(np.float32) * 0.6 + [1.5, 1.0, 0],
-        rng.rand(800, 3).astype(np.float32) * [0.8, 0.8, 1.2] + [3.0, 2.0, 0],
-    ])
-
-    # Fragments = overlapping spatial crops, each in its own (GT) frame.
-    frag_poses = []  # frame -> world
-    for i in range(N_FRAG):
-        center = np.array([0.8 + i * 0.7, 1.5, 1.0], np.float32)
-        keep = np.linalg.norm(room - center, axis=1) < 1.6
-        frag_world = room[keep]
-        pose = se3_np.se3_init(
-            se3_np.sample_uniform_rotation(rng, max_deg=30.0),
-            rng.randn(3).astype(np.float32) * 0.2,
-        )  # world -> frame? store frame->world as GT convention below
-        frag_local = se3_np.se3_transform(se3_np.se3_inv(pose), frag_world)
-        torch.save(
-            torch.from_numpy(frag_local),
-            root / "test" / SCENE / f"cloud_bin_{i}.pth",
-        )
-        frag_poses.append(pose)
-
-    # Pair metadata (src -> tgt pose: tgt_frame <- world <- src_frame).
-    pairs = [(0, 2), (1, 3), (0, 3)]
-    infos = {"src": [], "tgt": [], "rot": [], "trans": [], "overlap": []}
-    for i, j in pairs:
-        rel = se3_np.se3_cat(se3_np.se3_inv(frag_poses[j]), frag_poses[i])
-        infos["src"].append(f"test/{SCENE}/cloud_bin_{i}.pth")
-        infos["tgt"].append(f"test/{SCENE}/cloud_bin_{j}.pth")
-        infos["rot"].append(rel[:3, :3])
-        infos["trans"].append(rel[:3, 3:4])
-        infos["overlap"].append(0.5)
-    infos["rot"] = np.stack(infos["rot"])
-    infos["trans"] = np.stack(infos["trans"])
-    infos["overlap"] = np.asarray(infos["overlap"])
-    meta_dir = root / "meta"
-    meta_dir.mkdir()
-    for phase in ("train", "val"):
-        with open(meta_dir / f"{phase}_info.pkl", "wb") as f:
-            pickle.dump(infos, f)
-    with open(meta_dir / "test_3DMatch_info.pkl", "wb") as f:
-        pickle.dump(infos, f)
-
-    # Redwood GT benchmark files: gt.log entries are (i, j) with j-i>1 only
-    # counted; transform stored is the 4x4 that the est.log convention
-    # matches (tgt_idx, src_idx header per the reference writer).
-    gt_dir = root / "benchmarks" / "3DMatch" / SCENE
-    gt_dir.mkdir(parents=True)
-    with open(gt_dir / "gt.log", "w") as f, open(gt_dir / "gt.info", "w") as g:
-        for i, j in pairs:
-            rel = se3_np.se3_cat(se3_np.se3_inv(frag_poses[j]), frag_poses[i])
-            mat = np.concatenate([rel, [[0, 0, 0, 1]]], 0)
-            f.write(f"{i}\t{j}\t{N_FRAG}\n")
-            for row in mat:
-                f.write("\t".join(f"{v:.12f}" for v in row) + "\n")
-            g.write(f"{i}\t{j}\t{N_FRAG}\n")
-            info = np.eye(6) * 100.0
-            for row in info:
-                g.write("\t".join(f"{v:.12f}" for v in row) + "\n")
-    return root
+    return build_root(tmp_path_factory.mktemp("threedmatch"))
 
 
 def _cfg(root):
-    from regtr_tpu.presets import threedmatch_config
-
-    return threedmatch_config(
-        root=str(root),
-        first_subsampling_dl=0.08,  # coarser: keep the test small/fast
-        neighborhood_limits=[12, 12, 12, 12],
-        first_feats_dim=32, d_embed=32, nhead=4, d_feedforward=64,
-        num_encoder_layers=2,
-        overlap_loss_on=[1], feature_loss_on=[1], corr_loss_on=[1],
-        buckets=[1536], train_batch_size=2, test_batch_size=2,
-        capacity_factor=0.6,
-    )
+    return tiny_cfg(root)
 
 
 def test_dataset_and_augmentation(data_root):
