@@ -55,12 +55,17 @@ def build_root(root, seed: int = 0):
         )
         frag_poses.append(pose)
 
-    # Pair metadata (src -> tgt pose: tgt_frame <- world <- src_frame).
+    # Pair metadata, REAL-dataset convention (test_3DMatch_info.pkl): for a
+    # fragment pair (i, j) with i < j, src is the HIGHER-index fragment and
+    # tgt the lower (e.g. src=cloud_bin_1, tgt=cloud_bin_0), and the pose is
+    # tgt_frame <- src_frame.  The est.log writer emits headers
+    # (tgt_idx, src_idx) = (i, j), which is exactly the (i, j) order the
+    # gt.log headers use — getting this backwards silently scores recall 0.
     infos = {"src": [], "tgt": [], "rot": [], "trans": [], "overlap": []}
     for i, j in PAIRS:
-        rel = se3_np.se3_cat(se3_np.se3_inv(frag_poses[j]), frag_poses[i])
-        infos["src"].append(f"test/{SCENE}/cloud_bin_{i}.pth")
-        infos["tgt"].append(f"test/{SCENE}/cloud_bin_{j}.pth")
+        rel = se3_np.se3_cat(se3_np.se3_inv(frag_poses[i]), frag_poses[j])
+        infos["src"].append(f"test/{SCENE}/cloud_bin_{j}.pth")
+        infos["tgt"].append(f"test/{SCENE}/cloud_bin_{i}.pth")
         infos["rot"].append(rel[:3, :3])
         infos["trans"].append(rel[:3, 3:4])
         infos["overlap"].append(0.5)
@@ -75,12 +80,13 @@ def build_root(root, seed: int = 0):
     with open(meta_dir / "test_3DMatch_info.pkl", "wb") as f:
         pickle.dump(infos, f)
 
-    # Redwood GT benchmark files (est.log convention: tgt_idx, src_idx).
+    # Redwood GT benchmark files: header (i, j) = (tgt, src), matrix
+    # tgt_frame <- src_frame — matches the real 3DMatch gt.log layout.
     gt_dir = root / "benchmarks" / "3DMatch" / SCENE
     gt_dir.mkdir(parents=True, exist_ok=True)
     with open(gt_dir / "gt.log", "w") as f, open(gt_dir / "gt.info", "w") as g:
         for i, j in PAIRS:
-            rel = se3_np.se3_cat(se3_np.se3_inv(frag_poses[j]), frag_poses[i])
+            rel = se3_np.se3_cat(se3_np.se3_inv(frag_poses[i]), frag_poses[j])
             mat = np.concatenate([rel, [[0, 0, 0, 1]]], 0)
             f.write(f"{i}\t{j}\t{N_FRAG}\n")
             for row in mat:
