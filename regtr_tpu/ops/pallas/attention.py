@@ -355,7 +355,7 @@ def _xla_reference(q, k, v, bias, sm_scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_masked_attention(q, k, v, bias, sm_scale,
-                           block_q=512, block_k=512, interpret=False):
+                           block_q=1024, block_k=1024, interpret=False):
     """Masked flash attention: softmax(q @ k^T * sm_scale + bias) @ v.
 
     Args:
