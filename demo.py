@@ -56,6 +56,11 @@ def main(argv=None):
     p.add_argument("--config", type=str, help="Config YAML")
     p.add_argument("--out", type=str, default="demo_out",
                    help="Output dir for PLY visualization")
+    p.add_argument("--save_attn", action="store_true",
+                   help="Also save the cross-encoder attention maps "
+                        "(per layer, self+cross) to attn.npz — the "
+                        "reference's get_attentions analysis capability; "
+                        "works on the flash-kernel path too")
     p.add_argument("--platform", type=str, default=None)
     opt = p.parse_args(argv)
 
@@ -126,9 +131,19 @@ def main(argv=None):
     else:
         print("WARNING: no checkpoint given; using random weights")
 
-    out = jax.jit(lambda v, p, m: model.apply({"params": v}, p, m))(
-        params, points, mask
-    )
+    if opt.save_attn:
+        # Requesting the 'intermediates' collection makes every attention
+        # module expose its probabilities (the flash path recomputes them
+        # explicitly; see nn/transformer.py).
+        out, inter = jax.jit(
+            lambda v, p, m: model.apply(
+                {"params": v}, p, m, mutable=["intermediates"]
+            )
+        )(params, points, mask)
+    else:
+        out = jax.jit(lambda v, p, m: model.apply({"params": v}, p, m))(
+            params, points, mask
+        )
     pose = np.asarray(out["pose"][-1, 0])
     src_overlap = np.asarray(
         jax.nn.sigmoid(out["overlap_logits"][-1, 0])
@@ -154,6 +169,27 @@ def main(argv=None):
                np.concatenate([colors_src, colors_tgt])],
               ["x", "y", "z", "red", "green", "blue"])
     print(f"wrote {outdir}/before.ply and {outdir}/after.ply")
+
+    if opt.save_attn:
+        # Flatten {layer_i: {self_attn/cross_attn: {attn: (...)}}} into
+        # 'layer_0/self_attn' etc., batch slot 0 = src cloud, 1 = tgt.
+        maps = {}
+
+        def walk(tree, prefix=""):
+            for k, v in tree.items():
+                name = f"{prefix}/{k}" if prefix else k
+                if isinstance(v, dict):
+                    walk(v, name)
+                else:
+                    # sow stores a tuple of sown values
+                    arr = v[0] if isinstance(v, (tuple, list)) else v
+                    maps[name.replace("/attn", "")] = np.asarray(arr)
+
+        walk(inter["intermediates"])
+        np.savez_compressed(outdir / "attn.npz", **maps)
+        shapes = {k: v.shape for k, v in list(maps.items())[:2]}
+        print(f"wrote {outdir}/attn.npz: {len(maps)} attention maps, "
+              f"e.g. {shapes}")
 
 
 if __name__ == "__main__":

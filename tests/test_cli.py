@@ -68,11 +68,17 @@ def test_train_cli_smoke(tmp_path):
 def test_demo_cli_smoke(tmp_path):
     r = _run([
         "demo.py", "--example", "3", "--platform", "cpu",
-        "--out", str(tmp_path / "demo"),
+        "--out", str(tmp_path / "demo"), "--save_attn",
     ])
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert (tmp_path / "demo" / "after.ply").exists()
     assert "Predicted pose" in r.stdout
+    # attention-map analysis capability (reference get_attentions)
+    attn = np.load(tmp_path / "demo" / "attn.npz")
+    assert len(attn.files) == 12  # 6 layers x (self + cross)
+    a = attn[attn.files[0]]
+    assert a.ndim == 4 and a.shape[0] == 2  # (clouds, heads, N, N)
+    np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-3)
 
 
 def _mini_model_and_cfg(cfg_path):
