@@ -53,7 +53,12 @@ def transformation_error(trans, info):
     t = trans[:3, 3]
     q = rotmat_to_quat(trans[:3, :3])
     er = np.concatenate([t, q[1:]])
-    return float(er[None, :] @ info @ er[:, None] / info[0, 0])
+    # A degenerate all-zero covariance (present in the real 3DLoMatch gt)
+    # yields 0/0 = nan, which the caller scores as a failure — identical to
+    # the reference's computeTransformationErr; errstate just silences the
+    # expected warning.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return float(er[None, :] @ info @ er[:, None] / info[0, 0])
 
 
 def read_trajectory(path):
