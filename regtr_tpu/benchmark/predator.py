@@ -58,7 +58,7 @@ def transformation_error(trans, info):
     # the reference's computeTransformationErr; errstate just silences the
     # expected warning.
     with np.errstate(invalid="ignore", divide="ignore"):
-        return float(er[None, :] @ info @ er[:, None] / info[0, 0])
+        return float((er @ info @ er) / info[0, 0])
 
 
 def read_trajectory(path):
