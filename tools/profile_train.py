@@ -89,6 +89,25 @@ def main():
     print(f"train step: {dt*1000:.0f} ms  ({n_pairs/dt:.2f} pairs/s)  "
           f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
 
+    # Per-program split of the step (three XLA programs; see steps.py).
+    import jax as _jax
+
+    def time_prog(fn, *args, n=5):
+        out = fn(*args)
+        force(_jax.tree_util.tree_leaves(out)[0])
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*args)
+        force(_jax.tree_util.tree_leaves(out)[0])
+        return (time.time() - t0 - rtt) / n * 1000
+
+    g_ms = time_prog(step.grads_jit, state.params, batch)
+    grads, losses, pose_pred = step.grads_jit(state.params, batch)
+    m_ms = time_prog(step.metrics_jit, losses, pose_pred, batch["pose"],
+                     grads)
+    print(f"program split: grads {g_ms:.0f} ms, metrics {m_ms:.1f} ms "
+          f"(update = remainder of {dt*1000:.0f} ms)", flush=True)
+
     # FLOP/MFU of the dominant program (grads holds ~all of the step's
     # FLOPs; the metrics/update programs are negligible).
     try:
