@@ -185,6 +185,17 @@ def test_evaluate_3dmatch_cli(tmp_path):
     lines = csv_path.read_text().strip().splitlines()
     assert len(lines) == 1 + len(PAIRS)  # header + one row per pair
 
+    # Default xlsx export (ref parity: individual_errors.xlsx) round-trips.
+    from regtr_tpu.utils.xlsx import read_xlsx
+
+    rows = read_xlsx(tmp_path / "results" / "individual_errors.xlsx")
+    assert rows[0] == ["scene", "src", "tgt", "error", "flag"]
+    assert len(rows) == 1 + len(PAIRS)
+    # perfect GT poses: every scored pair registers (flag 0); consecutive
+    # pairs are excluded from gt (flag 2); nothing fails (flag 1)
+    assert all(r[4] in (0.0, 2.0) for r in rows[1:])
+    assert any(r[4] == 0.0 for r in rows[1:])
+
     # DGR protocol on the same perfect logs
     r = _run([
         "evaluate_3dmatch.py", str(tmp_path / "results"),

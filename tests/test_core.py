@@ -166,3 +166,29 @@ class TestRowGatherVJP:
         np.testing.assert_allclose(
             np.asarray(d_custom), np.asarray(d_plain), rtol=1e-5, atol=1e-6
         )
+
+
+def test_xlsx_writer_roundtrip(tmp_path):
+    """Dependency-free xlsx writer: valid zip structure + value round-trip."""
+    import zipfile
+
+    from regtr_tpu.utils.xlsx import read_xlsx, write_xlsx
+
+    rows = [
+        ["scene", "src", "tgt", "error", "flag"],
+        ["7-scenes-redkitchen", 0, 3, 0.0421, True],
+        ["sun3d <&> tricky", 12, 59, 1.5, False],
+    ]
+    path = tmp_path / "errs.xlsx"
+    write_xlsx(path, rows, sheet_name="individual_errors")
+
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+    assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+            "xl/worksheets/sheet1.xml"} <= names
+
+    back = read_xlsx(path)
+    assert back[0] == rows[0]
+    assert back[1] == ["7-scenes-redkitchen", 0.0, 3.0, 0.0421, True]
+    assert back[2][0] == "sun3d <&> tricky"  # XML escaping survives
+    assert back[2][4] is False
