@@ -153,7 +153,13 @@ def kpconv_geometry(
     flat_inds = neighb_inds.reshape(b, nq * k)
     neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
 
-    rel = neighbors - q_pts[:, :, None, :]                     # (B,Nq,K,3)
+    # Geometry is a function of point coordinates only — training data, never
+    # a differentiated leaf — so cut autodiff here.  Without this, reverse
+    # mode materializes a dead d_infl -> d_rel chain of (B,Nq,K,P) tensors in
+    # the backward of every block that consumes the influence tensor.
+    rel = jax.lax.stop_gradient(
+        neighbors - q_pts[:, :, None, :]                       # (B,Nq,K,3)
+    )
     return _influence_from_rel(
         rel, neighb_inds, ns, kernel_pts, kp_extent,
         influence, aggregation, compute_dtype,
@@ -322,7 +328,15 @@ def kpconv_fused_gather(
         neighbors = _unpack_bf16_to_f32(g[..., cin + ce:])
     else:
         neighbors = g[..., cin + ce:]
-    rel = neighbors - q_pts[:, :, None, :]
+    # The coordinate columns ride through the (differentiable) merged gather,
+    # which makes the influence geometry LOOK differentiable to autodiff even
+    # though point coordinates are data, never trained.  stop_gradient prunes
+    # the dead backward chain (a d_infl einsum transpose per consuming block
+    # plus the sqrt/relu geometry backward over (B,Nq,K,P) tensors); the
+    # cotangent flowing into the gather's coordinate columns becomes zero and
+    # gradients w.r.t. features/weights are bitwise unchanged (tested:
+    # tests/test_parity.py grad-parity vs the unfused path).
+    rel = jax.lax.stop_gradient(neighbors - q_pts[:, :, None, :])
     infl, inv_n = _influence_from_rel(
         rel, neighb_inds, ns, kernel_pts, kp_extent,
         influence, aggregation, compute_dtype,
@@ -386,7 +400,9 @@ def kpconv_deformable(
     )
     flat_inds = neighb_inds.reshape(b, nq * k)
     neighbors = batched_row_gather(s_pts_pad, flat_inds).reshape(b, nq, k, 3)
-    rel = neighbors - q_pts[:, :, None, :]
+    # Coordinates are data (see kpconv_geometry); offset gradients still flow
+    # through deformed_kp in the dots/kp_sq terms below.
+    rel = jax.lax.stop_gradient(neighbors - q_pts[:, :, None, :])
 
     if compute_dtype is not None:
         rel = rel.astype(compute_dtype)

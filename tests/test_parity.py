@@ -103,6 +103,49 @@ class TestKPConvOracle:
         ))[0]
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-5)
 
+    def test_fused_gather_grad_parity(self):
+        """The merged-gather path stops gradients through the influence
+        geometry (coordinates are data); grads w.r.t. features and weights
+        must be identical to the unfused kpconv path, and the forward plus
+        shortcut max-pool must match their unfused equivalents."""
+        import jax
+
+        from regtr_tpu.ops.kpconv import kpconv, kpconv_fused_gather, max_pool
+
+        rng = np.random.RandomState(7)
+        nq, ns, k, p, cin, ce, cout = 20, 50, 8, 15, 6, 4, 5
+        extent = 0.12
+        q = jnp.asarray(rng.rand(1, nq, 3).astype(np.float32))
+        s = jnp.asarray(rng.rand(1, ns, 3).astype(np.float32))
+        x = jnp.asarray(rng.randn(1, ns, cin).astype(np.float32))
+        xe = jnp.asarray(rng.randn(1, ns, ce).astype(np.float32))
+        kp = jnp.asarray(load_kernel_points(0.15, p, 3, "center", 0))
+        w = jnp.asarray(rng.randn(p, cin, cout).astype(np.float32) * 0.1)
+        idx = jnp.asarray(rng.randint(0, ns + 1, (1, nq, k)).astype(np.int32))
+
+        def fused(x_, xe_, w_):
+            out, pooled, _ = kpconv_fused_gather(
+                q, s, idx, x_, xe_, kp, w_, extent
+            )
+            return jnp.sum(out * out) + jnp.sum(pooled), (out, pooled)
+
+        def plain(x_, xe_, w_):
+            out = kpconv(q, s, idx, x_, kp, w_, extent)
+            pooled = max_pool(xe_, idx)
+            return jnp.sum(out * out) + jnp.sum(pooled), (out, pooled)
+
+        (vf, (of, pf)), gf = jax.value_and_grad(
+            fused, argnums=(0, 1, 2), has_aux=True)(x, xe, w)
+        (vp, (op, pp)), gp = jax.value_and_grad(
+            plain, argnums=(0, 1, 2), has_aux=True)(x, xe, w)
+        np.testing.assert_allclose(np.asarray(of), np.asarray(op),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pp),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(gf, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
 
 class TestInfoNCEParity:
     def test_matches_torch_formula(self):
