@@ -46,8 +46,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-            m_ref, l_ref, acc_ref, *, sm_scale, nk_blocks):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *refs,
+            sm_scale, nk_blocks):
+    if len(refs) == 4:
+        lse_ref, m_ref, l_ref, acc_ref = refs
+    else:  # inference-only call: no lse output declared
+        lse_ref = None
+        m_ref, l_ref, acc_ref = refs
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
@@ -86,16 +91,22 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
         l = l_ref[:, :1]
         inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0] = (acc_ref[:] * inv).astype(o_ref.dtype)
-        # Softmax normalizer for the backward recompute.  l >= 1 whenever a
-        # tile was processed (the row max contributes exp(0)); the guard
-        # covers the impossible-all-underflow case only.
-        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
+        if lse_ref is not None:
+            # Softmax normalizer for the backward recompute.  l >= 1 whenever
+            # a tile was processed (the row max contributes exp(0)); the
+            # guard covers the impossible-all-underflow case only.
+            lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
 
 
-def _flash_fwd_impl(q, k, v, bias, sm_scale, block_q, block_k, interpret):
+def _flash_fwd_impl(q, k, v, bias, sm_scale, block_q, block_k, interpret,
+                    want_lse=True):
     """q: (BH, Nq, d); k/v: (BH, Nk, d); bias: (BH, Nk) additive.
 
     Returns (out (BH, Nq, d), lse (BH, Nq_pad, 128) fp32 lane-broadcast).
+    With want_lse=False (inference-only: the normalizer is needed solely by
+    the backward recompute) the kernel declares a single output — pallas_call
+    outputs are not DCE'd, so the flag saves the (BH, Nq_pad, 128) fp32
+    HBM write (~8 MB per 3DMatch-scale call) — and lse is returned as None.
     """
     bh, nq, d = q.shape
     nk = k.shape[1]
@@ -117,17 +128,24 @@ def _flash_fwd_impl(q, k, v, bias, sm_scale, block_q, block_k, interpret):
     nk_blocks = nk_pad // bk
     grid = (bh, nq_blocks, nk_blocks)
 
-    out, lse = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype)]
+    out_specs = [pl.BlockSpec((1, bq, d), lambda b, iq, ik: (b, iq, 0),
+                              memory_space=pltpu.VMEM)]
+    if want_lse:
+        # lse is stored lane-broadcast (last dim 128) so the backward
+        # kernels read a natively-tiled block and slice column 0 —
+        # avoids any (1, n) -> (n, 1) relayout inside the kernels.  At
+        # 3DMatch scale this is ~8 MB of extra HBM, noise next to the
+        # quadratic tensors the kernels keep out of HBM.
+        out_shape.append(
+            jax.ShapeDtypeStruct((bh, nq_pad, 128), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0),
+                         memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
         functools.partial(_kernel, sm_scale=sm_scale, nk_blocks=nk_blocks),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-            # lse is stored lane-broadcast (last dim 128) so the backward
-            # kernels read a natively-tiled block and slice column 0 —
-            # avoids any (1, n) -> (n, 1) relayout inside the kernels.  At
-            # 3DMatch scale this is ~8 MB of extra HBM, noise next to the
-            # quadratic tensors the kernels keep out of HBM.
-            jax.ShapeDtypeStruct((bh, nq_pad, 128), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda b, iq, ik: (b, iq, 0),
@@ -139,12 +157,7 @@ def _flash_fwd_impl(q, k, v, bias, sm_scale, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, bk), lambda b, iq, ik: (b, 0, ik),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bq, d), lambda b, iq, ik: (b, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda b, iq, ik: (b, iq, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -155,7 +168,10 @@ def _flash_fwd_impl(q, k, v, bias, sm_scale, block_q, block_k, interpret):
         ),
         interpret=interpret,
     )(q, k, v, bias)
-    return out[:, :nq], lse
+    if want_lse:
+        out, lse = res
+        return out[:, :nq], lse
+    return res[0][:, :nq], None
 
 
 def _recompute_p_ds(q, k, v, do, bias_row, lse, delta, sm_scale):
@@ -367,7 +383,7 @@ def flash_masked_attention(q, k, v, bias, sm_scale,
     Returns (BH, Nq, d) in q.dtype.
     """
     out, _ = _flash_fwd_impl(q, k, v, bias, sm_scale, block_q, block_k,
-                             interpret)
+                             interpret, want_lse=False)
     return out
 
 

@@ -10,6 +10,7 @@ Excel, LibreOffice, and openpyxl.
 """
 from __future__ import annotations
 
+import math
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -59,8 +60,9 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):  # before int: bool is an int subclass
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        if isinstance(value, float) and value != value:  # NaN: no valid
-            return f'<c r="{ref}"/>'  # xlsx numeric encoding; blank cell
+        if isinstance(value, float) and not math.isfinite(value):
+            return f'<c r="{ref}"/>'  # NaN/inf: no valid xlsx numeric
+            # encoding exists; emit a blank cell
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     text = escape(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'

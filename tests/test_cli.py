@@ -9,6 +9,9 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.slow  # compile-heavy: fresh XLA compiles dominate
+
+
 REPO = Path(__file__).resolve().parents[1]
 
 

@@ -7,11 +7,16 @@ kernel-point positions per query; `modulated` adds a 2*sigmoid gain per
 kernel point.  Verified against (a) the rigid op when offsets are zero and
 (b) an independent numpy oracle for nonzero offsets.
 """
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from regtr_tpu.ops.kpconv import kpconv, kpconv_deformable
+
+pytestmark = pytest.mark.slow  # compile-heavy: fresh XLA compiles dominate
+
 
 
 def _rigid_oracle(q, s, inds, x, kp, w, extent):

@@ -38,6 +38,9 @@ REF_SRC = "/root/reference/src"
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 from convert_torch_ckpt import convert_state_dict  # noqa: E402
 
+pytestmark = pytest.mark.slow  # compile-heavy: fresh XLA compiles dominate
+
+
 
 @pytest.fixture(scope="module")
 def ref():

@@ -5,6 +5,8 @@ Covers the seeded Lloyd default, the reference-style repulsion optimizer
 the .ply disposition cache format, and the per-block npz override used for
 bit-exact converted checkpoints.
 """
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +19,8 @@ from regtr_tpu.utils.kernel_points import (
     repulsion_dispositions,
     write_dispositions_ply,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy: fresh XLA compiles dominate
 
 
 class TestRepulsion:
