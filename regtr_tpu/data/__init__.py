@@ -10,10 +10,15 @@ from __future__ import annotations
 from functools import partial
 
 from . import transforms as T
-from .collate import collate_pairs
+from .collate import collate_pairs, pick_bucket
 from .modelnet import make_modelnet_datasets
 from .prefetch import DataLoader
 from .threedmatch import ThreeDMatchDataset
+
+
+def _bucket_of(sample, buckets) -> int:
+    n = max(sample["src_xyz"].shape[0], sample["tgt_xyz"].shape[0])
+    return pick_bucket(n, buckets)
 
 
 def get_dataset(cfg, phase: str):
@@ -41,6 +46,16 @@ def get_dataset(cfg, phase: str):
 def get_dataloader(cfg, phase: str, num_workers: int = 4, shard=None):
     dataset = get_dataset(cfg, phase)
     batch_size = cfg.get(f"{phase}_batch_size", 1)
+    # Size-grouped TEST batching: the bucketed collate pads every pair in a
+    # batch to the batch max bucket, so on mixed-size data one large cloud
+    # drags whole batches to the largest bucket.  Grouping same-bucket
+    # samples into batches removes that cost.  Test only: the protocol is
+    # per-process (no collectives mid-loop) and run_test keys all ordered
+    # artifacts on sample idx, so the changed batch order is invisible.
+    group_key = None
+    if (phase == "test" and batch_size > 1 and cfg.get("buckets")
+            and cfg.get("bucket_grouped_test", True)):
+        group_key = partial(_bucket_of, buckets=cfg["buckets"])
     return DataLoader(
         dataset,
         batch_size=batch_size,
@@ -60,4 +75,5 @@ def get_dataloader(cfg, phase: str, num_workers: int = 4, shard=None):
         # needs the batch axis to divide the mesh (train gets this from
         # drop_last; test runs unsharded per process).
         pad_last_batch=phase == "val",
+        group_key=group_key,
     )

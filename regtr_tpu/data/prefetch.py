@@ -39,6 +39,7 @@ class DataLoader:
         shard: Optional[Tuple[int, int]] = None,
         shard_pad: bool = False,
         pad_last_batch: bool = False,
+        group_key: Optional[Callable] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +57,16 @@ class DataLoader:
         # trade-off as torch's DistributedSampler; use for val, never for
         # test protocols (duplicated pairs would corrupt benchmark scores).
         self.pad_last_batch = pad_last_batch
+        # group_key(sample) -> hashable: when set, samples are regrouped
+        # into same-key batches as they stream through the loader (size-
+        # grouped eval batching: the bucketed collate pads every pair in a
+        # batch to the batch MAX bucket, so one large cloud would otherwise
+        # drag a whole batch of small pairs to the big bucket).  Batch
+        # EMISSION ORDER changes (consumers must key results on sample idx,
+        # which run_test does); the sample multiset does not.  Only for
+        # per-process protocols (test): grouping makes per-process batch
+        # COUNTS diverge, which would desynchronize collective loops.
+        self.group_key = group_key
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -85,23 +96,71 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _sample_batches(self, idx, pool=None):
+        """Yield lists of LOADED samples forming each batch.
+
+        Ungrouped: fixed index slices in (shuffled) order.  Grouped
+        (`group_key`): samples stream through a per-key pending buffer and a
+        batch is emitted whenever some key accumulates `batch_size` samples;
+        remainders flush at the end in sorted key order (deterministic).
+        """
+        load = lambda i: self.dataset[int(i)]  # noqa: E731
+
+        if self.group_key is None:
+            batches = [
+                idx[i: i + self.batch_size]
+                for i in range(0, len(idx), self.batch_size)
+            ]
+            if self.drop_last:
+                batches = [b for b in batches if len(b) == self.batch_size]
+            elif self.pad_last_batch and batches and len(idx) > 0:
+                last = batches[-1]
+                if len(last) < self.batch_size:
+                    fill = np.resize(idx, self.batch_size - len(last))
+                    batches[-1] = np.concatenate([last, fill])
+            for b in batches:
+                if pool is not None:
+                    yield list(pool.map(load, b))
+                else:
+                    yield [load(i) for i in b]
+            return
+
+        if pool is not None:
+            # Bounded submission window: ThreadPoolExecutor.map would submit
+            # every load up front and buffer the whole dataset in memory.
+            from collections import deque
+
+            window = max(2 * self.num_workers, self.batch_size)
+            futs: deque = deque()
+            it = iter(idx)
+
+            def _samples():
+                for i in it:
+                    futs.append(pool.submit(load, i))
+                    if len(futs) >= window:
+                        yield futs.popleft().result()
+                while futs:
+                    yield futs.popleft().result()
+
+            samples = _samples()
+        else:
+            samples = (load(i) for i in idx)
+
+        pending: dict = {}
+        for s in samples:
+            k = self.group_key(s)
+            pending.setdefault(k, []).append(s)
+            if len(pending[k]) == self.batch_size:
+                yield pending.pop(k)
+        for k in sorted(pending):
+            yield pending[k]
+
     def __iter__(self):
         idx = self._indices()
-        batches = [
-            idx[i: i + self.batch_size]
-            for i in range(0, len(idx), self.batch_size)
-        ]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
-        elif self.pad_last_batch and batches and len(idx) > 0:
-            last = batches[-1]
-            if len(last) < self.batch_size:
-                fill = np.resize(idx, self.batch_size - len(last))
-                batches[-1] = np.concatenate([last, fill])
 
         if self.num_workers == 0:
-            for b in batches:
-                yield self.collate_fn([self.dataset[int(i)] for i in b])
+            for samples in self._sample_batches(idx):
+                yield self.collate_fn(samples)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -121,12 +180,9 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for b in batches:
+                    for samples in self._sample_batches(idx, pool):
                         if stop.is_set():
                             return
-                        samples = list(
-                            pool.map(lambda i: self.dataset[int(i)], b)
-                        )
                         if not _put(self.collate_fn(samples)):
                             return
             except BaseException as e:  # surface worker errors to consumer

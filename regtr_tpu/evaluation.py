@@ -107,7 +107,7 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
     est_root = out_dir if nproc == 1 else out_dir / f"est_rank{proc}"
 
     rot_errs, trans_errs = [], []
-    mn_metrics, mn_poses = [], []
+    mn_metrics, mn_poses, mn_idx = [], [], []
 
     import jax.numpy as jnp
 
@@ -148,6 +148,11 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
             }
             mn_metrics.append(_modelnet_metrics_ragged(data, pose_final))
             mn_poses.append(pose_final)
+            # Dataset indices: batches may arrive size-grouped (out of
+            # dataset order); ordered artifacts are re-sorted by idx below.
+            mn_idx.extend(int(i) for i in meta.get(
+                "idx", range(len(mn_idx), len(mn_idx) + pose_final.shape[0])
+            ))
 
     if nproc > 1:
         from jax.experimental import multihost_utils
@@ -194,10 +199,17 @@ def run_test(cfg, model, params, test_loader, out_dir, mesh=None,
         }
         poses = (np.concatenate(mn_poses) if mn_poses
                  else np.zeros((0, 3, 4), np.float64))
+        idxs = np.asarray(mn_idx, np.int64)
         if nproc > 1:
             cat = {k: _allgather_ragged(v) for k, v in cat.items()}
             poses = _allgather_ragged(poses)
+            idxs = _allgather_ragged(idxs).astype(np.int64)
         if len(poses):
+            # Restore dataset order (size-grouped test batches arrive out of
+            # order; pred_transforms.npy row i must be dataset sample i).
+            order = np.argsort(idxs, kind="stable")
+            poses = poses[order]
+            cat = {k: v[order] for k, v in cat.items()}
             summary = bm_modelnet.summarize_metrics(cat)
             bm_modelnet.print_metrics(logger, summary)
             results.update(summary)

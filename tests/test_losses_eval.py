@@ -231,6 +231,61 @@ class TestEvalProtocol:
         poses = np.load(tmp_path / "pred_transforms.npy")
         assert poses.shape[-2:] == (3, 4)
 
+    def test_run_test_grouped_matches_ungrouped(self, tmp_path, monkeypatch):
+        """Size-grouped test batching regroups batches by bucket (and thus
+        changes batch emission order), but every ordered protocol artifact
+        must still be in dataset order: grouped vs ungrouped runs agree."""
+        import regtr_tpu.data as data_mod
+        from regtr_tpu.data import get_dataloader, get_dataset
+        from regtr_tpu.evaluation import run_test
+        from regtr_tpu.models import create_model, init_model_params
+        from regtr_tpu.presets import tiny_config
+
+        cfg = tiny_config(dataset="synthetic", synthetic_items=6,
+                          num_points=256, test_batch_size=2,
+                          buckets=[128, 192])
+        base = get_dataset(cfg, "test")
+        # Alternate sample sizes so buckets interleave in dataset order and
+        # ungrouped batching would mix buckets within a batch.
+        sizes = [100, 180, 110, 170, 105, 175]
+
+        class Varied:
+            def __len__(self):
+                return len(base)
+
+            def __getitem__(self, i):
+                s = dict(base[i])
+                n = sizes[i]
+                for k in ("src_xyz", "src_overlap"):
+                    s[k] = s[k][:n]
+                for k in ("tgt_xyz", "tgt_overlap"):
+                    s[k] = s[k][:n]
+                return s
+
+        monkeypatch.setattr(data_mod, "get_dataset", lambda c, p: Varied())
+
+        model = create_model(cfg, 192)
+        variables = init_model_params(model, jax.random.PRNGKey(0))
+
+        outs = {}
+        for grouped in (False, True):
+            cfg["bucket_grouped_test"] = grouped
+            loader = get_dataloader(cfg, "test", num_workers=0)
+            out_dir = tmp_path / ("grouped" if grouped else "plain")
+            results = run_test(cfg, model, variables["params"], loader,
+                               out_dir)
+            outs[grouped] = (
+                np.load(out_dir / "pred_transforms.npy"), results
+            )
+
+        poses_plain, res_plain = outs[False]
+        poses_grouped, res_grouped = outs[True]
+        np.testing.assert_allclose(poses_grouped, poses_plain,
+                                   rtol=0, atol=1e-5)
+        for k in res_plain:
+            np.testing.assert_allclose(res_grouped[k], res_plain[k],
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestDataLoader:
     def test_prefetch_early_break_no_leak(self):
@@ -313,3 +368,34 @@ class TestDataLoader:
         tiny = DataLoader(Identity(1), 2, collate, shard=(1, 2),
                           shard_pad=True, num_workers=0)
         assert len(list(tiny)) == 1
+
+    def test_group_key_batches_are_single_bucket(self):
+        """Size-grouped batching: every batch is single-key, the sample
+        multiset is unchanged, and it works identically with and without
+        worker threads (streaming grouped path)."""
+        from regtr_tpu.data.prefetch import DataLoader
+
+        sizes = [100, 900, 120, 130, 950, 140, 990, 105, 115, 920, 30]
+
+        class Sized:
+            def __len__(self):
+                return len(sizes)
+
+            def __getitem__(self, i):
+                return {"i": i, "n": sizes[i]}
+
+        key = lambda s: 128 if s["n"] <= 128 else 1024
+        collate = lambda xs: xs
+        for nw in (0, 2):
+            loader = DataLoader(Sized(), 3, collate, num_workers=nw,
+                                group_key=key)
+            batches = list(loader)
+            # each batch is single-bucket
+            for b in batches:
+                assert len({key(s) for s in b}) == 1
+            # multiset of samples preserved
+            got = sorted(s["i"] for b in batches for s in b)
+            assert got == list(range(len(sizes)))
+            # full batches except at most one remainder per bucket
+            short = [b for b in batches if len(b) < 3]
+            assert len(short) <= 2

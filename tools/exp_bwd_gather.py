@@ -79,7 +79,9 @@ def main():
     perm_np = np.argsort(flat_ids, kind="stable").astype(np.int32)
     sorted_ids_np = flat_ids[perm_np]
     mult = np.bincount(flat_ids, minlength=nseg)
-    m_max = int(mult[:-1].max())  # ignore the shadow segment (huge)
+    shadow_ids = np.arange(b) * (n0 + 1) + n0  # one shadow segment per cloud
+    mult[shadow_ids] = 0
+    m_max = int(mult.max())
     print(f"multiplicity: mean={float(mult[mult > 0].mean()):.1f} "
           f"max(non-shadow)={m_max}", flush=True)
     perm = jnp.asarray(perm_np)
@@ -120,6 +122,17 @@ def main():
     run("segsum_f32",
         lambda gg, ii: jax.ops.segment_sum(gg, ii, num_segments=nseg),
         g32, ids)
+    # Width scaling: is the scatter per-row latency-bound (cost independent
+    # of C) or traffic-bound?  Decides whether narrow-channel levels pay the
+    # same per-row toll and whether count-histograms (C=1) are cheap.
+    for cw in (1, 8, 32, 64, 256):
+        gw = jnp.asarray(rng.randn(rows, cw), jnp.float32)
+        run(f"segsum_f32_c{cw}",
+            lambda gg, ii: jax.ops.segment_sum(gg, ii, num_segments=nseg),
+            gw, ids)
+    run("fwd_gather_f32_c32",
+        lambda xx, ii: jnp.take(xx, ii, axis=0),
+        jnp.asarray(rng.randn(b * (n0 + 1), 32), jnp.float32), ids)
     run("segsum_bf16in",
         lambda gg, ii: jax.ops.segment_sum(
             gg.astype(jnp.float32), ii, num_segments=nseg), g16, ids)
