@@ -23,6 +23,7 @@ which converted reference checkpoints need for bit-faithful activations
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -101,8 +102,12 @@ def _row_gather_bwd(res, g):
 batched_row_gather.defvjp(_row_gather_fwd, _row_gather_bwd)
 
 
-@jax.custom_vjp
-def batched_row_gather_padded(x, inds):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _row_gather_padded_impl(x, inds, n_grad_cols):
+    return _row_gather_fwd_impl(x, inds)
+
+
+def batched_row_gather_padded(x, inds, n_grad_cols=None):
     """batched_row_gather for operands whose LAST row per cloud is a pad
     (shadow) row whose gradient the caller discards.
 
@@ -111,22 +116,30 @@ def batched_row_gather_padded(x, inds):
     variant encodes that contract so the backward can drop pad-row
     cotangents (30-40% of all rows at level 0) and use the scatter-free
     sorted segment-sum kernel (ops/pallas/segsum.py) on TPU — measured
-    2-3x faster than XLA's scatter at 3DMatch scale.  Forward is identical
+    faster than XLA's scatter at 3DMatch scale.  Forward is identical
     to batched_row_gather.
+
+    n_grad_cols: if given, only the first n_grad_cols columns receive a
+    gradient; the rest get zeros.  The merged KPConv gather rides inert
+    coordinate columns along with the features (kpconv_fused_gather) whose
+    cotangent is structurally zero (stop_gradient downstream) — slicing
+    them out of the backward skips their segment-sum traffic and keeps the
+    pallas accumulator lane-packed at a power-of-two width.
     """
-    return _row_gather_fwd_impl(x, inds)
+    return _row_gather_padded_impl(x, inds, n_grad_cols)
 
 
-def _row_gather_padded_fwd(x, inds):
+def _row_gather_padded_fwd(x, inds, n_grad_cols):
     return _row_gather_fwd_impl(x, inds), (inds, x.shape)
 
 
-def _row_gather_padded_bwd(res, g):
+def _row_gather_padded_bwd(n_grad_cols, res, g):
     inds, (b, n, c) = res
     rows = b * inds.shape[1]
     offs = (jnp.arange(b, dtype=inds.dtype) * n)[:, None]
     flat_idx = (inds + offs).reshape(-1)
-    gflat = g.reshape(-1, c)
+    cg = c if n_grad_cols is None else int(n_grad_cols)
+    gflat = g.reshape(-1, c)[:, :cg]
     if _use_sorted_segsum(rows):
         from .pallas.segsum import sorted_padded_segment_sum
 
@@ -139,11 +152,15 @@ def _row_gather_padded_bwd(res, g):
         dx = jax.ops.segment_sum(
             gflat.astype(jnp.float32), flat_idx, num_segments=b * n,
         )
+    if cg != c:
+        dx = jnp.concatenate(
+            [dx, jnp.zeros((b * n, c - cg), dx.dtype)], axis=1
+        )
     return dx.reshape(b, n, c).astype(g.dtype), None
 
 
-batched_row_gather_padded.defvjp(_row_gather_padded_fwd,
-                                 _row_gather_padded_bwd)
+_row_gather_padded_impl.defvjp(_row_gather_padded_fwd,
+                               _row_gather_padded_bwd)
 
 
 def _influence_from_rel(rel, neighb_inds, ns, kernel_pts, kp_extent,
@@ -392,7 +409,11 @@ def kpconv_fused_gather(
     cat = jnp.concatenate([cat, pad_row], axis=1)
 
     flat_inds = neighb_inds.reshape(b, nq * k)
-    g = batched_row_gather_padded(cat, flat_inds).reshape(b, nq, k, cin + ce + ccoord)
+    # Coordinate columns are inert in the backward (stop_gradient below);
+    # n_grad_cols drops their cotangents from the gather transpose.
+    g = batched_row_gather_padded(
+        cat, flat_inds, n_grad_cols=cin + ce,
+    ).reshape(b, nq, k, cin + ce + ccoord)
 
     neighb_x = g[..., :cin]
     if compute_dtype is not None:

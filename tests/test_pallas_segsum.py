@@ -86,3 +86,30 @@ class TestSortedSegmentSum:
             K.set_segsum_impl("auto")
         np.testing.assert_array_equal(np.asarray(gx_p), np.asarray(gx_ref))
         np.testing.assert_array_equal(np.asarray(gw_p), np.asarray(gw_ref))
+
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_n_grad_cols_drops_inert_columns(self, impl):
+        """n_grad_cols: gradient equals the full backward when the dropped
+        columns' cotangent is zero (the fused-gather coordinate contract)."""
+        rng = np.random.RandomState(4)
+        b, n, r, c, cg = 2, 90, 400, 12, 8
+        x = jnp.asarray(rng.randn(b, n + 1, c).astype(np.float32))
+        inds = jnp.asarray(rng.randint(0, n + 1, (b, r)).astype(np.int32))
+
+        def loss(xx, n_grad_cols):
+            out = K.batched_row_gather_padded(xx, inds, n_grad_cols)
+            # only the first cg columns participate -> coord-column
+            # cotangents are structurally zero, as in kpconv_fused_gather
+            return jnp.sum(out[..., :cg] ** 2)
+
+        try:
+            K.set_segsum_impl(impl)
+            g_full = jax.grad(loss)(x, None)
+            g_cut = jax.grad(loss)(x, cg)
+        finally:
+            K.set_segsum_impl("auto")
+        np.testing.assert_array_equal(np.asarray(g_cut), np.asarray(g_full))
+        if impl == "pallas":
+            # the pallas kernel additionally zeroes the pad row in-kernel
+            # (the xla path leaves it for the caller to discard)
+            assert not np.any(np.asarray(g_cut)[:, n, :])
