@@ -199,6 +199,45 @@ class TestTrainStep:
             float(m0["total"]), float(m1["total"]), rtol=2e-4
         )
 
+    def test_sharded_pallas_kernels_match_xla(self):
+        """Pallas custom kernels (flash attention + sorted segsum backward)
+        partition correctly under the data-parallel mesh: the sharded train
+        step with pallas impls is bitwise-equal to sharded XLA impls.
+
+        Guards the flagship multi-chip deployment path — on real TPU pods
+        the auto impls pick the pallas kernels, a combination the xla-only
+        CPU dryrun would otherwise never exercise."""
+        from regtr_tpu.ops import kpconv as K
+        from regtr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+        from regtr_tpu.train.optim import make_optimizer
+        from regtr_tpu.train.steps import TrainState, make_train_step
+
+        n_dev = len(jax.devices())
+        batch = synthetic_batch(n_pairs=n_dev)
+        mesh = make_mesh(n_dev)
+
+        def run(attn, seg):
+            model = create_model(tiny_config(attention_impl=attn), N0)
+            variables = init_model_params(model, jax.random.PRNGKey(0))
+            tx = make_optimizer(model.cfg)
+            s = TrainState.create(
+                apply_fn=model.apply, params=variables["params"], tx=tx
+            )
+            s = jax.device_put(s, replicated(mesh))
+            step = make_train_step(model, mesh=mesh, donate=False)
+            try:
+                K.set_segsum_impl(seg)
+                _, m = step(s, shard_batch(dict(batch), mesh))
+                return float(m["total"]), float(m["grad_norm"])
+            finally:
+                K.set_segsum_impl("auto")
+
+        ref = run("xla", "xla")
+        got = run("pallas_interpret", "pallas")
+        # flash attention reorders the softmax reduction, so equality is
+        # tight-tolerance, not bitwise; a mispartition would be O(1) off.
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
 
 class TestDecoderHeadVariant:
     def test_attention_decoder_path(self):
