@@ -93,7 +93,7 @@ def _kernel(ids_sub_ref, ids_lane_ref, g_ref, dxp_ref, gp_ref, *,
         in_l = sel_l & (wp_l >= 0) & (wp_l < wdp)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wdp, s_rows), 0)
         oh = ((iota_w == wp_l) & in_l).astype(jnp.float32)   # (WDp, S)
-        delta = jax.lax.dot(oh, gp, preferred_element_type=jnp.float32)
+        delta = jax.lax.dot(oh, gp_ref[:], preferred_element_type=jnp.float32)
         dxp_ref[pl.ds(base, wdp), :] += delta
         wp_s = rowp_s - base
         in_s = sel_s & (wp_s >= 0) & (wp_s < wdp)
@@ -103,23 +103,20 @@ def _kernel(ids_sub_ref, ids_lane_ref, g_ref, dxp_ref, gp_ref, *,
     n_out = jnp.sum(out_s.astype(jnp.int32))
 
     @pl.when(n_out > 0)
-    def _window2():
-        rest_s, _ = window_add(out_s, out_l)
-        n_f = jnp.sum(rest_s.astype(jnp.int32))
+    def _more_windows():
+        # Sortedness makes one window cover a chunk in the common case; a
+        # chunk straddling a gap (empty padding segments at a cloud
+        # boundary) or pathological id spreads take more — loop the same
+        # vectorized window until every selected row is covered (each pass
+        # retires >=1 row, so it terminates; real tables take <=2 passes).
+        def cond(carry):
+            sel_s, _ = carry
+            return jnp.sum(sel_s.astype(jnp.int32)) > 0
 
-        @pl.when(n_f > 0)
-        def _fallback():
-            idxv = jax.lax.broadcasted_iota(jnp.int32, (s_rows, 1), 0)
+        def body(carry):
+            return window_add(*carry)
 
-            def body(_, mask):
-                pos = jnp.min(jnp.where(mask, idxv, s_rows))
-                rp = ids_sub_ref[0, pos, 0] // p4
-                dxp_ref[pl.ds(rp, 1), :] = (
-                    dxp_ref[pl.ds(rp, 1), :] + gp_ref[pl.ds(pos, 1), :]
-                )
-                return mask & (idxv != pos)
-
-            jax.lax.fori_loop(0, n_f, body, rest_s)
+        jax.lax.while_loop(cond, body, (out_s, out_l))
 
 
 def _sorted_segment_sum_slab(gs, sids_sub, sids_lane, num_segments,
