@@ -1,6 +1,10 @@
 """Profile the full training step at 3DMatch scale on TPU.
 
 Usage: python tools/profile_train.py [n_pairs=2] [n0=20480] [dtype=bfloat16]
+           [remat|noremat] [config=3dmatch]
+
+config picks the preset family: "3dmatch" (default) or "modelnet"
+(the 768-bucket ModelNet-scale training row in RESULTS.md).
 """
 from __future__ import annotations
 
@@ -49,8 +53,13 @@ def main():
                            (n_pairs, 3, 4)).copy()
     ov = np.ones((2 * n_pairs, n0), np.float32)
 
-    cfg = threedmatch_config(compute_dtype=dtype)
-    if len(sys.argv) > 4:
+    if len(sys.argv) > 5 and sys.argv[5] == "modelnet":
+        from regtr_tpu.presets import modelnet_config
+
+        cfg = modelnet_config(compute_dtype=dtype)
+    else:
+        cfg = threedmatch_config(compute_dtype=dtype)
+    if len(sys.argv) > 4 and sys.argv[4] != "default":
         cfg['remat'] = sys.argv[4] != 'noremat'
     model = create_model(cfg, n0)
     dev = jax.devices()[0]
