@@ -109,12 +109,22 @@ def main():
         return float(jnp.sum(o["pose"].astype(jnp.float32)))
 
     init_s = time.time() - t_init
+    # Cold start decomposed (VERDICT r3 #7): local lower+compile is cacheable
+    # (.jax_cache makes it ~1 s on repeat runs — the warm-start figure), while
+    # the first execution pays the remote backend's executable-load floor
+    # (infra weather, not cacheable from here; see RESULTS.md "Cold start").
     t0 = time.time()
-    out = fwd(variables["params"], pts_d, mask_d)
+    compiled = fwd.lower(variables["params"], pts_d, mask_d).compile()
+    lower_compile_s = time.time() - t0
+    t0 = time.time()
+    out = compiled(variables["params"], pts_d, mask_d)
     sync(out)
-    compile_s = time.time() - t0
-    log(f"compile+first run: {compile_s:.1f}s")
-    sync(fwd(variables["params"], pts_d, mask_d))  # warm
+    first_exec_s = time.time() - t0
+    compile_s = lower_compile_s + first_exec_s
+    log(f"lower+compile: {lower_compile_s:.1f}s (cache-hit runs ~1s); "
+        f"first execution: {first_exec_s:.1f}s (remote load floor); "
+        f"total cold: {compile_s:.1f}s")
+    sync(compiled(variables["params"], pts_d, mask_d))  # warm
     t0 = time.time()
     sync(out)
     rtt = time.time() - t0
@@ -123,7 +133,7 @@ def main():
     iters = 10
     t0 = time.time()
     for _ in range(iters):
-        out = fwd(variables["params"], pts_d, mask_d)
+        out = compiled(variables["params"], pts_d, mask_d)
     sync(out)
     dt = time.time() - t0 - rtt
     pairs_per_sec = n_pairs * iters / dt
@@ -138,8 +148,7 @@ def main():
     # RESULTS.md roofline discussion).
     tflops = mfu = None
     try:
-        cost = fwd.lower(variables["params"], pts_d, mask_d) \
-                  .compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
@@ -164,6 +173,11 @@ def main():
         # compile_s small on repeat runs)
         "init_s": round(init_s, 1),
         "compile_s": round(compile_s, 1),
+        # decomposition of compile_s: the cacheable local compile (the
+        # warm-start figure once .jax_cache is primed, e.g. by
+        # tools/prewarm.py) vs the remote executable-load floor.
+        "lower_compile_s": round(lower_compile_s, 1),
+        "first_exec_s": round(first_exec_s, 1),
         "tflops": None if tflops is None else round(tflops, 2),
         "mfu": None if mfu is None else round(mfu, 4),
     }))
