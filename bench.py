@@ -51,6 +51,12 @@ def load_pair():
 
 def main():
     import jax
+
+    # Honor an explicit CPU request (tests / machines without the TPU
+    # tunnel): the ambient sitecustomize overrides platform selection, so
+    # the env var alone is not enough (see CLAUDE.md).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from regtr_tpu.models import create_model, init_model_params

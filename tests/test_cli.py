@@ -296,3 +296,23 @@ def test_calibrate_cli(tmp_path):
     assert coverage >= keep_ratio - 0.05, (limits[0], coverage)
     # capacities cover the actual cloud sizes
     assert caps[0] >= max_pts
+
+
+def test_bench_cli_smoke(tmp_path):
+    """bench.py (the driver-run benchmark entry point) prints exactly one
+    JSON line on stdout with the contract fields, on a tiny CPU bucket."""
+    r = _run(["bench.py", "1", "2048", "float32"], timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    json_lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, r.stdout
+    rec = json.loads(json_lines[0])
+    assert rec["metric"] == "3dmatch_inference_throughput"
+    assert rec["unit"] == "pairs/sec"
+    assert rec["value"] > 0 and np.isfinite(rec["value"])
+    # both fields are independently rounded to 3 decimals
+    assert rec["vs_baseline"] == pytest.approx(rec["value"] / 10.0, abs=1e-3)
+    # cold-start decomposition: cacheable compile vs remote execution floor
+    for k in ("init_s", "compile_s", "lower_compile_s", "first_exec_s"):
+        assert rec[k] >= 0
+    assert rec["compile_s"] == pytest.approx(
+        rec["lower_compile_s"] + rec["first_exec_s"], abs=0.2)
