@@ -109,14 +109,19 @@ def _kernel(ids_sub_ref, ids_lane_ref, g_ref, dxp_ref, gp_ref, *,
         # boundary) or pathological id spreads take more — loop the same
         # vectorized window until every selected row is covered (each pass
         # retires >=1 row, so it terminates; real tables take <=2 passes).
+        # Carry int32 masks: Mosaic cannot legalize scf.yield over
+        # vector<i1> loop carriers (measured failure on the real backend).
         def cond(carry):
             sel_s, _ = carry
-            return jnp.sum(sel_s.astype(jnp.int32)) > 0
+            return jnp.sum(sel_s) > 0
 
         def body(carry):
-            return window_add(*carry)
+            ns, nl = window_add(carry[0] != 0, carry[1] != 0)
+            return ns.astype(jnp.int32), nl.astype(jnp.int32)
 
-        jax.lax.while_loop(cond, body, (out_s, out_l))
+        jax.lax.while_loop(
+            cond, body,
+            (out_s.astype(jnp.int32), out_l.astype(jnp.int32)))
 
 
 def _sorted_segment_sum_slab(gs, sids_sub, sids_lane, num_segments,
