@@ -34,10 +34,14 @@ SHADOW_COORD = 1e6
 # Backward implementation for the padded row gathers (the gather transpose).
 #   "xla"    — jax.ops.segment_sum (scatter; ~13-16 ns/row measured on v5e)
 #   "pallas" — sort-by-segment + windowed one-hot MXU reduction
-#              (ops/pallas/segsum.py; no scatter, ~2-3x faster at scale)
-#   "auto"   — pallas on TPU backends for large tables, xla otherwise
+#              (ops/pallas/segsum.py; no scatter)
+#   "auto"   — xla.  The sorted kernel wins its isolated microbench but
+#              LOSES inside the full train program (3DMatch scale, v5e:
+#              608 vs 342 ms/step measured round 4 — the sort+permute
+#              prologue and the sequential grid serialize against work XLA
+#              otherwise overlaps; RESULTS.md "Gather/scatter strategy").
+#              Kept as an opt-in for future shapes where it may win.
 _SEGSUM_IMPL = os.environ.get("REGTR_SEGSUM_IMPL", "auto")
-_SEGSUM_AUTO_MIN_ROWS = 131072
 
 
 def set_segsum_impl(impl: str):
@@ -48,12 +52,8 @@ def set_segsum_impl(impl: str):
 
 
 def _use_sorted_segsum(rows: int) -> bool:
-    if _SEGSUM_IMPL == "xla":
-        return False
-    if _SEGSUM_IMPL == "pallas":
-        return True
-    return (rows >= _SEGSUM_AUTO_MIN_ROWS
-            and jax.default_backend() != "cpu")
+    del rows
+    return _SEGSUM_IMPL == "pallas"
 
 
 @jax.custom_vjp
@@ -114,9 +114,10 @@ def batched_row_gather_padded(x, inds, n_grad_cols=None):
     Every KPConv/pool caller appends a zero/sentinel pad row and gathers
     with shadow index = Ns, then slices the pad row's gradient away.  This
     variant encodes that contract so the backward can drop pad-row
-    cotangents (30-40% of all rows at level 0) and use the scatter-free
-    sorted segment-sum kernel (ops/pallas/segsum.py) on TPU — measured
-    faster than XLA's scatter at 3DMatch scale.  Forward is identical
+    cotangents (30-40% of all rows at level 0) and can opt into the
+    scatter-free sorted segment-sum kernel (ops/pallas/segsum.py,
+    REGTR_SEGSUM_IMPL=pallas; default stays on XLA's scatter — see the
+    measured comparison at _SEGSUM_IMPL above).  Forward is identical
     to batched_row_gather.
 
     n_grad_cols: if given, only the first n_grad_cols columns receive a

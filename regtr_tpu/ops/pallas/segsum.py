@@ -28,9 +28,14 @@ kernel does that:
 
 The equivalent machinery in the reference is torch's scatter_add backward of
 index_select on CUDA (used by gather_neighbors,
-/root/reference/src/models/backbone_kpconv/kpconv_blocks.py:77-109); on TPU
-the scatter-free formulation above is ~2-3x faster than XLA's scatter at
-3DMatch scale (tools/exp_pallas_segsum.py).
+/root/reference/src/models/backbone_kpconv/kpconv_blocks.py:77-109).
+
+Status (round 4, measured on v5e): the kernel beats XLA's scatter in an
+ISOLATED microbench (tools/exp_pallas_segsum.py) but LOSES inside the full
+train program — 608 vs 342 ms/step at 3DMatch scale — because the
+argsort+permute prologue and the sequential 1-D grid serialize against
+work XLA otherwise overlaps with the scatter.  It is therefore OPT-IN
+(REGTR_SEGSUM_IMPL=pallas); the production default is XLA's segment_sum.
 
 Determinism: fixed reduction order (MXU matmul within a chunk, chunks in
 grid order) — bit-stable across runs.
