@@ -66,6 +66,10 @@ def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n0 = int(sys.argv[2]) if len(sys.argv) > 2 else 20480
     dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
+    # Optional 4th arg: attention impl ("auto"/"pallas"/"xla").  "xla" is
+    # the documented cold-start workaround — no Mosaic custom calls, so the
+    # remote first-execution floor is much lower (RESULTS.md "Cold start").
+    attn_impl = sys.argv[4] if len(sys.argv) > 4 else "auto"
 
     src, tgt = load_pair()
     log(f"real scans: src {src.shape}, tgt {tgt.shape}; bucket {n0}, "
@@ -84,7 +88,7 @@ def main():
     pts = np.stack([ps, pt] * n_pairs)
     mask = np.stack([ms, mt] * n_pairs)
 
-    cfg = threedmatch_config(compute_dtype=dtype)
+    cfg = threedmatch_config(compute_dtype=dtype, attention_impl=attn_impl)
     model = create_model(cfg, n0)
     log(f"pyramid caps: {model.spec.capacities} ks: {model.spec.neighbor_ks}")
 

@@ -35,13 +35,18 @@ SHADOW_COORD = 1e6
 #   "xla"    — jax.ops.segment_sum (scatter; ~13-16 ns/row measured on v5e)
 #   "pallas" — sort-by-segment + windowed one-hot MXU reduction
 #              (ops/pallas/segsum.py; no scatter)
-#   "auto"   — xla.  The sorted kernel wins its isolated microbench but
-#              LOSES inside the full train program (3DMatch scale, v5e:
-#              608 vs 342 ms/step measured round 4 — the sort+permute
-#              prologue and the sequential grid serialize against work XLA
-#              otherwise overlaps; RESULTS.md "Gather/scatter strategy").
-#              Kept as an opt-in for future shapes where it may win.
+#   "auto"   — xla.  The sorted kernel loses to the scatter on v5e both
+#              in isolation (44-53 vs 13.7-14.4 ns/row, 3 reps, round 5)
+#              and inside the full train program (608 vs 342 ms/step at
+#              3DMatch scale — the sort+permute prologue and the
+#              sequential grid serialize against work XLA otherwise
+#              overlaps; RESULTS.md "Gather/scatter strategy").  Kept as
+#              a correct opt-in for future shapes/hardware.
 _SEGSUM_IMPL = os.environ.get("REGTR_SEGSUM_IMPL", "auto")
+if _SEGSUM_IMPL not in ("auto", "xla", "pallas"):
+    raise ValueError(
+        f"REGTR_SEGSUM_IMPL={_SEGSUM_IMPL!r} is not one of auto/xla/pallas"
+    )
 
 
 def set_segsum_impl(impl: str):
@@ -51,8 +56,7 @@ def set_segsum_impl(impl: str):
     _SEGSUM_IMPL = impl
 
 
-def _use_sorted_segsum(rows: int) -> bool:
-    del rows
+def _use_sorted_segsum() -> bool:
     return _SEGSUM_IMPL == "pallas"
 
 
@@ -136,12 +140,11 @@ def _row_gather_padded_fwd(x, inds, n_grad_cols):
 
 def _row_gather_padded_bwd(n_grad_cols, res, g):
     inds, (b, n, c) = res
-    rows = b * inds.shape[1]
     offs = (jnp.arange(b, dtype=inds.dtype) * n)[:, None]
     flat_idx = (inds + offs).reshape(-1)
     cg = c if n_grad_cols is None else int(n_grad_cols)
     gflat = g.reshape(-1, c)[:, :cg]
-    if _use_sorted_segsum(rows):
+    if _use_sorted_segsum():
         from .pallas.segsum import sorted_padded_segment_sum
 
         dx = sorted_padded_segment_sum(

@@ -30,12 +30,15 @@ The equivalent machinery in the reference is torch's scatter_add backward of
 index_select on CUDA (used by gather_neighbors,
 /root/reference/src/models/backbone_kpconv/kpconv_blocks.py:77-109).
 
-Status (round 4, measured on v5e): the kernel beats XLA's scatter in an
-ISOLATED microbench (tools/exp_pallas_segsum.py) but LOSES inside the full
-train program — 608 vs 342 ms/step at 3DMatch scale — because the
-argsort+permute prologue and the sequential 1-D grid serialize against
-work XLA otherwise overlaps with the scatter.  It is therefore OPT-IN
-(REGTR_SEGSUM_IMPL=pallas); the production default is XLA's segment_sum.
+Status (round 5, measured on v5e, 3 reps each): the kernel LOSES to XLA's
+scatter both in the isolated microbench (44-53 vs 13.7-14.4 ns/row on the
+real 3.28M-row L0 table, tools/exp_pallas_segsum.py) and inside the full
+train program (608 vs 342 ms/step at 3DMatch scale) — the argsort+permute
+prologue plus the sequential 1-D grid (rows/1024 steps, one small MXU
+matmul each) serialize where XLA's scatter overlaps with independent
+work.  It is kept OPT-IN (REGTR_SEGSUM_IMPL=pallas) as a correct,
+hardware-exact scatter-free alternative for future shapes; the production
+default is XLA's segment_sum.
 
 Determinism: fixed reduction order (MXU matmul within a chunk, chunks in
 grid order) — bit-stable across runs.
@@ -98,7 +101,14 @@ def _kernel(ids_sub_ref, ids_lane_ref, g_ref, dxp_ref, gp_ref, *,
         in_l = sel_l & (wp_l >= 0) & (wp_l < wdp)
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wdp, s_rows), 0)
         oh = ((iota_w == wp_l) & in_l).astype(jnp.float32)   # (WDp, S)
-        delta = jax.lax.dot(oh, gp_ref[:], preferred_element_type=jnp.float32)
+        # precision=HIGHEST: at TPU default matmul precision the fp32
+        # operands are rounded through bf16 passes, which measured a
+        # 5.9e-2 max error vs the XLA oracle on randn inputs (round-4
+        # hardware log).  A one-hot matmul only selects+adds rows, so
+        # full fp32 multiplication makes the kernel exact on hardware.
+        delta = jax.lax.dot(oh, gp_ref[:],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
         dxp_ref[pl.ds(base, wdp), :] += delta
         wp_s = rowp_s - base
         in_s = sel_s & (wp_s >= 0) & (wp_s < wdp)

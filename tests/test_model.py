@@ -204,9 +204,10 @@ class TestTrainStep:
         partition correctly under the data-parallel mesh: the sharded train
         step with pallas impls is bitwise-equal to sharded XLA impls.
 
-        Guards the flagship multi-chip deployment path — on real TPU pods
-        the auto impls pick the pallas kernels, a combination the xla-only
-        CPU dryrun would otherwise never exercise."""
+        The sorted segsum is opt-in (REGTR_SEGSUM_IMPL=pallas /
+        set_segsum_impl; auto resolves to XLA on every backend), so this
+        test exercises that explicit combination under the mesh — the
+        xla-default CPU dryrun would otherwise never cover it."""
         from regtr_tpu.ops import kpconv as K
         from regtr_tpu.parallel.mesh import make_mesh, replicated, shard_batch
         from regtr_tpu.train.optim import make_optimizer

@@ -44,11 +44,20 @@ def main():
     ids = jnp.asarray(flat_ids.astype(np.int32))
     g32 = jnp.asarray(rng.randn(rows, c).astype(np.float32))
 
-    def run(name, fn, *args, iters=10):
+    def run(name, fn, *args, iters=10, reps=3):
+        # reps>1: the backend is bimodal run-to-run (CLAUDE.md), so report
+        # every repetition, not a single draw.
         try:
-            compile_s, dt = bench_jitted(jax.jit(fn), *args, iters=iters)
-            print(f"{name:24s} {dt*1e3:8.2f} ms  {dt*1e9/rows:6.2f} ns/row"
-                  f"  (compile {compile_s:.0f}s)", flush=True)
+            jfn = jax.jit(fn)
+            compile_s, dt = bench_jitted(jfn, *args, iters=iters)
+            dts = [dt]
+            for _ in range(reps - 1):
+                _, dt = bench_jitted(jfn, *args, iters=iters)
+                dts.append(dt)
+            per = "  ".join(f"{d*1e9/rows:.2f}" for d in dts)
+            print(f"{name:24s} {min(dts)*1e3:8.2f} ms best "
+                  f"  ns/row reps: [{per}]  (compile {compile_s:.0f}s)",
+                  flush=True)
         except Exception as e:
             print(f"{name:24s} FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)

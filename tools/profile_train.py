@@ -1,10 +1,14 @@
 """Profile the full training step at 3DMatch scale on TPU.
 
 Usage: python tools/profile_train.py [n_pairs=2] [n0=20480] [dtype=bfloat16]
-           [remat|noremat] [config=3dmatch]
+           [remat|noremat] [config=3dmatch] [k=K0,K1,K2,K3]
 
 config picks the preset family: "3dmatch" (default) or "modelnet"
 (the 768-bucket ModelNet-scale training row in RESULTS.md).
+k= overrides neighborhood_limits (the per-level gather width — the
+backward's segment-sum rows scale with it; RESULTS.md "K reduction").
+The steady-state timing loop runs 3 repetitions (the backend is bimodal
+run-to-run; CLAUDE.md).
 """
 from __future__ import annotations
 
@@ -61,6 +65,12 @@ def main():
         cfg = threedmatch_config(compute_dtype=dtype)
     if len(sys.argv) > 4 and sys.argv[4] != "default":
         cfg['remat'] = sys.argv[4] != 'noremat'
+    for a in sys.argv[6:]:
+        if a.startswith("k="):
+            cfg["neighborhood_limits"] = [int(x) for x in
+                                          a[2:].split(",")]
+            print(f"neighborhood_limits override: "
+                  f"{cfg['neighborhood_limits']}", flush=True)
     model = create_model(cfg, n0)
     dev = jax.devices()[0]
     cpu = jax.local_devices(backend="cpu")[0]
@@ -90,12 +100,17 @@ def main():
     rtt = time.time() - t0
 
     iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        state, metrics = step(state, batch)
-    force(metrics["total"])
-    dt = (time.time() - t0 - rtt) / iters
-    print(f"train step: {dt*1000:.0f} ms  ({n_pairs/dt:.2f} pairs/s)  "
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            state, metrics = step(state, batch)
+        force(metrics["total"])
+        dts.append((time.time() - t0 - rtt) / iters)
+    dt = min(dts)
+    reps = "  ".join(f"{d*1000:.0f}" for d in dts)
+    print(f"train step: {dt*1000:.0f} ms best of [{reps}]  "
+          f"({n_pairs/dt:.2f} pairs/s)  "
           f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
 
     # Per-program split of the step (three XLA programs; see steps.py).
