@@ -110,11 +110,18 @@ def make_modelnet_datasets(cfg, phase: str):
     """Dataset + the phase-appropriate transform pipeline.
 
     Falls back to SyntheticShapeDataset when the HDF5 data is missing."""
+    # The reference's hardcoded 717-point benchmark-parity resample
+    # (modelnet_transforms.py:92-93) only makes sense against the real
+    # ModelNet protocol; for the synthetic stand-in dataset it would
+    # silently shrink every cloud to 717 points regardless of num_points,
+    # so it defaults off there.
+    synthetic = cfg.get("dataset") == "synthetic"
     train_t, test_t = get_transforms(
         cfg.get("noise_type", "crop"),
         cfg.get("rot_mag", 45.0), cfg.get("trans_mag", 0.5),
         cfg.get("num_points", 1024), cfg.get("partial"),
-        predator_compat=cfg.get("predator_compat", True),
+        predator_compat=cfg.get("predator_compat", not synthetic),
+        partial_range=cfg.get("partial_range"),
     )
     transform = train_t if phase == "train" else test_t
     root = cfg.get("root", "")
@@ -139,7 +146,13 @@ def make_modelnet_datasets(cfg, phase: str):
         )
     from .synthetic import SyntheticShapeDataset
 
+    # Generate the base cloud at the pipeline's resolution (the Resampler
+    # can only duplicate points beyond it): a 16384-point config gets
+    # 16384 distinct surface samples, not 8x-tiled 2048-point clouds.
+    base_points = cfg.get("synthetic_base_points",
+                          max(2048, cfg.get("num_points", 1024)))
     return SyntheticShapeDataset(
         cfg, n_items=cfg.get("synthetic_items", 256),
+        n_points=base_points,
         transform=transform, seed=0 if phase == "train" else 1,
     )

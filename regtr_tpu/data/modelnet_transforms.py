@@ -168,12 +168,20 @@ class RandomJitter:
 
 
 class RandomCrop:
-    """Half-space crop of both clouds + overlap/correspondence recompute."""
+    """Half-space crop of both clouds + overlap/correspondence recompute.
 
-    def __init__(self, p_keep: Optional[List] = None):
+    `p_range=(lo, hi)` (an extension over the reference, used by the
+    synthetic full-scale training recipe) samples the keep fraction
+    uniformly per sample instead of the fixed reference value, so the
+    training distribution covers varied crop/overlap statistics; the
+    sampled value flows into `crop_proportion`, so the Resampler's
+    cloud sizes vary with it too."""
+
+    def __init__(self, p_keep: Optional[List] = None, p_range=None):
         self.p_keep = np.array(
             p_keep if p_keep is not None else [0.7, 0.7], np.float32
         )
+        self.p_range = p_range
 
     @staticmethod
     def _crop(points, p_keep, rng):
@@ -187,22 +195,29 @@ class RandomCrop:
         return points[mask], mask
 
     def __call__(self, sample, rng):
-        sample["crop_proportion"] = self.p_keep
-        if np.all(self.p_keep == 1.0):
-            return sample
         rng = _maybe_reseed(sample, rng)
+        if self.p_range is not None:
+            lo, hi = self.p_range
+            p_keep = np.full(len(self.p_keep),
+                             rng.uniform(lo, hi), np.float32)
+        else:
+            p_keep = self.p_keep
 
-        if len(self.p_keep) == 1:
+        sample["crop_proportion"] = p_keep
+        if np.all(p_keep == 1.0):
+            return sample
+
+        if len(p_keep) == 1:
             src_pts, src_mask = self._crop(sample["points_src"],
-                                           self.p_keep[0], rng)
+                                           p_keep[0], rng)
             ref_pts = sample["points_ref"]
             ref_mask = np.ones(ref_pts.shape[0], bool)
         else:
             src_pts, src_mask = self._crop(sample["points_src"],
-                                           self.p_keep[0], rng)
+                                           p_keep[0], rng)
             # Reference quirk: ref also cropped with p_keep[0].
             ref_pts, ref_mask = self._crop(sample["points_ref"],
-                                           self.p_keep[0], rng)
+                                           p_keep[0], rng)
 
         corr = sample["correspondences"]
         src_overlap = np.zeros(sample["points_src"].shape[0], bool)
@@ -324,8 +339,13 @@ class ShufflePoints:
 
 def get_transforms(noise_type: str, rot_mag=45.0, trans_mag=0.5,
                    num_points=1024, partial_p_keep=None,
-                   predator_compat=True):
-    """Train/test pipelines per noise type (modelnet.py:50-121)."""
+                   predator_compat=True, partial_range=None):
+    """Train/test pipelines per noise type (modelnet.py:50-121).
+
+    partial_range=(lo, hi): TRAIN-only extension — the crop keep-fraction
+    is drawn per sample instead of fixed, widening the overlap statistics
+    the model sees (the test pipeline keeps the fixed reference value so
+    eval numbers stay comparable)."""
     partial = partial_p_keep if partial_p_keep is not None else [0.7, 0.7]
     if noise_type == "clean":
         train = [Resampler(num_points), SplitSourceRef(),
@@ -342,7 +362,8 @@ def get_transforms(noise_type: str, rot_mag=45.0, trans_mag=0.5,
                 rs, RandomJitter(), ShufflePoints()]
     elif noise_type == "crop":
         rs = Resampler(num_points, predator_compat)
-        train = [SplitSourceRef(), RandomCrop(partial),
+        train = [SplitSourceRef(),
+                 RandomCrop(partial, p_range=partial_range),
                  RandomTransformSE3_euler(rot_mag, trans_mag),
                  rs, RandomJitter(), ShufflePoints()]
         test = [SetDeterministic(), SplitSourceRef(), RandomCrop(partial),

@@ -241,9 +241,15 @@ class TestEvalProtocol:
         from regtr_tpu.models import create_model, init_model_params
         from regtr_tpu.presets import tiny_config
 
+        # neighbor_method='scan' (the exact oracle): this test isolates the
+        # regrouping bookkeeping, and only the exact search is strictly
+        # invariant to the padded bucket size — approx_min_k's reduction
+        # shape follows N, so near-tied candidates can resolve differently
+        # at bucket 128 vs 192 (data-dependent; the round-5 generator's
+        # planar room scenes trip it where the old blob shapes did not).
         cfg = tiny_config(dataset="synthetic", synthetic_items=6,
                           num_points=256, test_batch_size=2,
-                          buckets=[128, 192])
+                          buckets=[128, 192], neighbor_method="scan")
         base = get_dataset(cfg, "test")
         # Alternate sample sizes so buckets interleave in dataset order and
         # ungrouped batching would mix buckets within a batch.

@@ -77,6 +77,15 @@ def main():
         ("brute@0.70", {"neighbor_method": "brute", "neighbor_recall": 0.7}),
         ("brute@0.95", {"neighbor_method": "brute", "neighbor_recall": 0.95}),
         ("scan_exact", {"neighbor_method": "scan"}),
+        # The K=[32,36,40,40] neighbor-limit cut (314 vs 343 ms/step,
+        # RESULTS.md round 5): its accuracy cost at eval time, under the
+        # production neighbor setting.  The checkpoint was trained at
+        # K=40, so this measures the deployment-style mismatch too.
+        ("brute@0.70+K32", {"neighbor_method": "brute",
+                            "neighbor_recall": 0.7,
+                            "neighborhood_limits": [32, 36, 40, 40]}),
+        ("scan+K32", {"neighbor_method": "scan",
+                      "neighborhood_limits": [32, 36, 40, 40]}),
     ]
     results = {}
     for name, over in settings:
@@ -141,7 +150,7 @@ def main():
 
     d = {k: results[k] for k in results}
     ref = d["scan_exact"]
-    for name in ("brute@0.70", "brute@0.95"):
+    for name in (n for n in d if n != "scan_exact"):
         print(f"delta {name} vs exact: "
               f"rot_err {d[name]['rot_err_deg']-ref['rot_err_deg']:+.4f} deg, "
               f"trans {d[name]['trans_err']-ref['trans_err']:+.5f}, "
