@@ -151,8 +151,14 @@ def make_modelnet_datasets(cfg, phase: str):
     # 16384 distinct surface samples, not 8x-tiled 2048-point clouds.
     base_points = cfg.get("synthetic_base_points",
                           max(2048, cfg.get("num_points", 1024)))
+    n_items = cfg.get("synthetic_items", 256)
+    if phase != "train":
+        # Validation walks its full loader every validate_every steps; a
+        # separately sized (still seeded/deterministic) val split keeps
+        # that affordable when the train set is large.
+        n_items = cfg.get("synthetic_val_items", min(n_items, 256))
     return SyntheticShapeDataset(
-        cfg, n_items=cfg.get("synthetic_items", 256),
+        cfg, n_items=n_items,
         n_points=base_points,
         transform=transform, seed=0 if phase == "train" else 1,
     )
