@@ -117,9 +117,11 @@ def make_fragments(rng, room, dims, n_frags):
     return frags, poses
 
 
-def overlap_fraction(src_world, tgt_world, radius=OVERLAP_RADIUS):
+def overlap_fraction(src_world, tgt_world, radius=None):
     from scipy.spatial import cKDTree
 
+    if radius is None:  # read the global at call time (testable override)
+        radius = OVERLAP_RADIUS
     tree = cKDTree(tgt_world)
     d, _ = tree.query(src_world, k=1, distance_upper_bound=radius)
     return float(np.isfinite(d).mean())
