@@ -52,6 +52,24 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
+    def restore_from(self, resume, state_template):
+        """Restore from an explicit --resume path (a run dir or its ckpt/
+        subdir), like the reference's directory-resume
+        (/root/reference/src/cvhelpers/torch_helpers.py:195-242).  When the
+        path is this run's own ckpt dir the existing saver is reused;
+        otherwise a read-only manager over the foreign dir is opened, so a
+        fresh logdir can continue a previous run's training."""
+        path = Path(resume).resolve()
+        if (path / "ckpt").is_dir():
+            path = path / "ckpt"
+        if path == self.saver.directory:
+            return self.saver.restore(state_template)
+        src = CheckpointManager(path)
+        try:
+            return src.restore(state_template)
+        finally:
+            src.close()
+
     def fit(self, model, train_loader, val_loader,
             resume: Optional[str] = None, niter: int = -1):
         cfg = self.cfg
@@ -66,7 +84,7 @@ class Trainer:
         )
         step = 0
         if resume is not None:
-            state, step = self.saver.restore(state)
+            state, step = self.restore_from(resume, state)
             self.logger.info("Resumed from step %d", step)
         if self.mesh is not None:
             state = jax.device_put(state, replicated(self.mesh))

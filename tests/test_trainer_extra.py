@@ -56,6 +56,36 @@ def test_checkpoint_manager_best_retention(tmp_path):
     mgr.close()
 
 
+def test_trainer_restore_from_foreign_run_dir(tmp_path):
+    """`--resume <old run dir>` with a fresh --logdir restores the OLD run's
+    checkpoint (reference directory-resume, torch_helpers.py:195-242) —
+    regression test: fit() used to restore from the new run's empty ckpt/."""
+    from regtr_tpu.presets import tiny_config
+    from regtr_tpu.train.checkpoints import CheckpointManager
+    from regtr_tpu.train.trainer import Trainer
+
+    old_run = tmp_path / "old_run"
+    src = CheckpointManager(old_run / "ckpt")
+    state = {"w": jnp.arange(4.0) * 3, "step": jnp.asarray(0)}
+    src.save(7, {**state, "step": jnp.asarray(7)}, score=0.5)
+    src.close()
+
+    trainer = Trainer(tiny_config(), tmp_path / "new_run")
+    # run-dir form: <run>/ckpt resolved automatically
+    restored, step = trainer.restore_from(old_run, state)
+    assert step == 7 and int(restored["step"]) == 7
+    # explicit ckpt-dir form
+    restored, step = trainer.restore_from(old_run / "ckpt", state)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(4.0) * 3)
+    # own ckpt dir falls back to the existing saver
+    trainer.saver.save(2, {**state, "step": jnp.asarray(2)})
+    restored, step = trainer.restore_from(trainer.saver.directory, state)
+    assert step == 2
+    trainer.saver.close()
+
+
 def test_viz_outputs(tmp_path):
     from regtr_tpu.utils.viz import visualize_registration
     from regtr_tpu.core import se3_np

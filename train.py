@@ -110,7 +110,7 @@ def main(argv=None):
             apply_fn=model.apply, params=variables["params"], tx=tx
         )
         if opt.resume:
-            state, _ = trainer.saver.restore(state)
+            state, _ = trainer.restore_from(opt.resume, state)
         trainer._run_validation(
             make_eval_step(model, mesh=mesh), state, val_loader
         )
