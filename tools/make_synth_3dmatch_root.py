@@ -15,8 +15,8 @@ patched.
 After building, precompute the overlap masks (otherwise every train-time
 __getitem__ pays a KD-tree radius search):
 
-    python compute_overlap_3dmatch.py --root OUT --metadata OUT/meta \
-        --phases train val
+    python compute_overlap_3dmatch.py --root OUT --metadata_dir OUT/meta \
+        --phase train   # and again with --phase val
 
 Usage: python tools/make_synth_3dmatch_root.py OUT_DIR [--scenes-train 20]
            [--scenes-val 3] [--scenes-test 2] [--frags 6] [--niter 2000]
