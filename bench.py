@@ -66,9 +66,10 @@ def main():
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n0 = int(sys.argv[2]) if len(sys.argv) > 2 else 20480
     dtype = sys.argv[3] if len(sys.argv) > 3 else "bfloat16"
-    # Optional 4th arg: attention impl ("auto"/"pallas"/"xla").  "xla" is
-    # the documented cold-start workaround — no Mosaic custom calls, so the
-    # remote first-execution floor is much lower (RESULTS.md "Cold start").
+    # Optional 4th arg: attention impl ("auto"/"pallas"/"xla").  "xla"
+    # avoids Mosaic custom calls (smaller/steadier compiles, ~14% slower
+    # steady state); note the remote first-execution floor tracks backend
+    # load, not program content (RESULTS.md "Warm-start table").
     attn_impl = sys.argv[4] if len(sys.argv) > 4 else "auto"
 
     src, tgt = load_pair()
